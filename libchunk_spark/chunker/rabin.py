@@ -1,0 +1,320 @@
+"""Vectorized content-defined chunking (Rabin rolling hash).
+
+Reproduces, bit-exact, the cut decisions of the reference chunker
+(/root/reference/vendor/github.com/restic/chunker/chunker.go:202-327):
+
+* windowed Rabin fingerprint over GF(2)[x]/P(x), window = 64 bytes;
+* a chunk ends at the first position where ``add >= min_size`` and
+  ``digest & ((1 << avg_bits) - 1) == 0`` (chunker.go:295);
+* a cut is forced at ``add == max_size``;
+* the trailing partial chunk is emitted at EOF (chunker.go:227-239) with the
+  current digest state as its cut fingerprint;
+* the first ``min_size - window`` bytes of each chunk are never hashed
+  (the ``pre`` skip, chunker.go:140,250-269) — irrelevant to the digest value
+  at cut positions because the window only ever covers the trailing 64 bytes.
+
+Instead of a sequential state machine, the digest at every position is
+computed in one shot as 64 table-gathers + XOR (see gf2.window_tables), then a
+cheap sequential pass over the (sparse) candidate positions applies the
+min/max/EOF rules. Identical output, vectorized throughput.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .gf2 import DEFAULT_POL, WINDOW_SIZE, partial_digest, window_tables
+
+KIB = 1024
+MIB = 1024 * KIB
+
+
+@dataclass(frozen=True)
+class ChunkerConfig:
+    """Chunking parameters (reference defaults: chunker.go:14-27)."""
+
+    pol: int = DEFAULT_POL
+    min_size: int = 512 * KIB
+    max_size: int = 8 * MIB
+    avg_bits: int = 20
+    window: int = WINDOW_SIZE
+
+    def __post_init__(self) -> None:
+        if self.min_size < self.window:
+            raise ValueError(
+                f"min_size ({self.min_size}) must be >= window ({self.window})"
+            )
+        if self.max_size < self.min_size:
+            raise ValueError("max_size must be >= min_size")
+        if self.pol <= 0:
+            raise ValueError("polynomial must be positive")
+
+    @property
+    def splitmask(self) -> int:
+        return (1 << self.avg_bits) - 1
+
+
+# Config used against the small driver `documents` rows (~300 chars) so that
+# multi-chunk files exist at test scale; semantics identical to the reference,
+# only min/max/avg scaled down.
+SMALL_DOC_CONFIG = ChunkerConfig(min_size=64, max_size=256, avg_bits=5)
+
+# Config for the synthetic corpus (0.5–64 KiB source files).
+CORPUS_CONFIG = ChunkerConfig(min_size=256, max_size=4096, avg_bits=9)
+
+
+@dataclass(frozen=True)
+class Chunk:
+    """One content-defined chunk: mirrors reference Chunk (chunker.go:46-51)."""
+
+    start: int
+    length: int
+    cut_fp: int  # uint64 digest at the cut
+
+
+def rolling_digests(data: np.ndarray, cfg: ChunkerConfig) -> np.ndarray:
+    """Windowed digest at every position >= window-1.
+
+    Returns D of length ``n - window + 1`` where ``D[i]`` is the Rabin
+    fingerprint of ``data[i : i + window]`` — equal to the reference's
+    running digest when at least ``window`` bytes of the current chunk have
+    been hashed. O(n * window) memory traffic — use scan_candidates for
+    large payloads (blocked, candidate-only).
+    """
+    t = window_tables(cfg.pol, cfg.window)
+    n = data.shape[0]
+    w = cfg.window
+    if n < w:
+        return np.empty(0, dtype=np.uint64)
+    out = t[0][data[: n - w + 1]].copy()
+    for j in range(1, w):
+        out ^= t[j][data[j : j + n - w + 1]]
+    return out
+
+
+_SCAN_BLOCK = 1 << 16  # positions per block: 512 KiB accumulator, L2-resident
+
+
+def _first_candidate(
+    data: np.ndarray,
+    lo: int,
+    limit: int,
+    cfg: ChunkerConfig,
+    acc: np.ndarray,
+    tmp: np.ndarray,
+) -> tuple[int, int]:
+    """First position q in [lo, limit] with digest & splitmask == 0.
+
+    Blocked windowed-hash evaluation: per block, 64 ``np.take`` gathers into
+    a cache-resident accumulator (allocation-free via ``out=``), reduced to
+    the first mask hit. Returns (q, digest) or (-1, 0). Positions before
+    ``lo`` (the min_size pre-skip, chunker.go:140) are never evaluated.
+    """
+    t = window_tables(cfg.pol, cfg.window)
+    w = cfg.window
+    mask = np.uint64(cfg.splitmask)
+    p = lo
+    while p <= limit:
+        m = min(acc.shape[0], limit - p + 1)
+        a = acc[:m]
+        tm = tmp[:m]
+        base = p - (w - 1)  # window start for position p
+        np.take(t[0], data[base : base + m], out=a, mode="clip")
+        for j in range(1, w):
+            np.take(t[j], data[base + j : base + j + m], out=tm, mode="clip")
+            a ^= tm
+        hits = np.nonzero((a & mask) == 0)[0]
+        if hits.size:
+            h = int(hits[0])
+            return p + h, int(a[h])
+        p += m
+    return -1, 0
+
+
+def digest_at(data: np.ndarray, q: int, cfg: ChunkerConfig) -> int:
+    """Windowed digest at one absolute position q (window's last byte)."""
+    t = window_tables(cfg.pol, cfg.window)
+    w = cfg.window
+    acc = np.uint64(0)
+    for j in range(w):
+        acc ^= t[j][data[q - w + 1 + j]]
+    return int(acc)
+
+
+def _scan_all(arr: np.ndarray, cfg: ChunkerConfig) -> tuple[np.ndarray, np.ndarray]:
+    """All mask-hit positions and digests over one contiguous byte array.
+
+    Blocked allocation-free take+xor over every window position. Used by the
+    batch path, where many rows are concatenated and scanned in one pass
+    (cross-row windows yield garbage digests at positions the per-row
+    candidate ranges never consult).
+    """
+    t = window_tables(cfg.pol, cfg.window)
+    n = arr.shape[0]
+    w = cfg.window
+    mask = np.uint64(cfg.splitmask)
+    if n < w:
+        e = np.empty(0, dtype=np.int64)
+        return e, np.empty(0, dtype=np.uint64)
+    total = n - w + 1
+    block = min(_SCAN_BLOCK, total)
+    acc = np.empty(block, dtype=np.uint64)
+    tmp = np.empty(block, dtype=np.uint64)
+    pos_parts: list[np.ndarray] = []
+    fp_parts: list[np.ndarray] = []
+    for p0 in range(0, total, block):
+        m = min(block, total - p0)
+        a = acc[:m]
+        tm = tmp[:m]
+        np.take(t[0], arr[p0 : p0 + m], out=a, mode="clip")
+        for j in range(1, w):
+            np.take(t[j], arr[p0 + j : p0 + j + m], out=tm, mode="clip")
+            a ^= tm
+        hits = np.nonzero((a & mask) == 0)[0]
+        if hits.size:
+            pos_parts.append(hits + (p0 + w - 1))
+            fp_parts.append(a[hits].copy())
+    if not pos_parts:
+        e = np.empty(0, dtype=np.int64)
+        return e, np.empty(0, dtype=np.uint64)
+    return np.concatenate(pos_parts), np.concatenate(fp_parts)
+
+
+def _cut_scan(
+    n: int,
+    cand_pos: np.ndarray,
+    cand_fp: np.ndarray,
+    arr: np.ndarray,
+    data: bytes,
+    cfg: ChunkerConfig,
+) -> list[Chunk]:
+    """Sequential min/max/EOF pass over candidate cut positions.
+
+    ``cand_pos`` holds absolute positions q (index of the window's last
+    byte) where ``digest & splitmask == 0``; ``cand_fp[i]`` is the digest at
+    ``cand_pos[i]``. Non-candidate digests (forced cuts, EOF flush) are
+    recomputed point-wise via digest_at. Replays the reference's per-chunk
+    state machine using only the sparse candidate list.
+    """
+    w = cfg.window
+    chunks: list[Chunk] = []
+    s = 0
+    while s < n:
+        lo = s + cfg.min_size - 1  # first position where add >= min_size
+        hi = s + cfg.max_size - 1  # forced-cut position (add == max_size)
+        limit = min(hi, n - 1)
+        q = -1
+        if lo <= limit and cand_pos.size:
+            i = int(np.searchsorted(cand_pos, lo))
+            if i < cand_pos.size and cand_pos[i] <= limit:
+                q = int(cand_pos[i])
+                fp = int(cand_fp[i])
+        if q >= 0:
+            chunks.append(Chunk(s, q - s + 1, fp))
+            s = q + 1
+        elif hi <= n - 1:  # force cut at max_size (chunker.go:295)
+            chunks.append(Chunk(s, hi - s + 1, digest_at(arr, hi, cfg)))
+            s = hi + 1
+        else:  # EOF partial chunk (chunker.go:227-239)
+            pre = cfg.min_size - w
+            hashed = (n - s) - pre
+            if hashed >= w:
+                fp = digest_at(arr, n - 1, cfg)
+            elif hashed <= 0:
+                fp = 1  # digest right after reset = slide(0, 1)
+            else:
+                fp = partial_digest(cfg.pol, data[s + pre : n], w)
+            chunks.append(Chunk(s, n - s, fp))
+            s = n
+    return chunks
+
+
+def chunk_bytes(data: bytes, cfg: ChunkerConfig) -> list[Chunk]:
+    """Content-defined chunks of ``data`` — reference-equivalent cuts.
+
+    Lazy blocked scan: only positions in each chunk's eligible window
+    [start+min_size-1, start+max_size-1] are ever hashed, mirroring the
+    reference's pre-skip (chunker.go:250-269) — with default sizing ~1/3 of
+    all positions are skipped outright.
+    """
+    n = len(data)
+    if n == 0:
+        return []
+    arr = np.frombuffer(data, dtype=np.uint8)
+    w = cfg.window
+    block = min(_SCAN_BLOCK, n)
+    acc = np.empty(block, dtype=np.uint64)
+    tmp = np.empty(block, dtype=np.uint64)
+    chunks: list[Chunk] = []
+    s = 0
+    while s < n:
+        lo = s + cfg.min_size - 1  # first position where add >= min_size
+        hi = s + cfg.max_size - 1  # forced-cut position (add == max_size)
+        limit = min(hi, n - 1)
+        q = -1
+        if lo <= limit:
+            q, fp = _first_candidate(arr, lo, limit, cfg, acc, tmp)
+        if q >= 0:
+            chunks.append(Chunk(s, q - s + 1, fp))
+            s = q + 1
+        elif hi <= n - 1:  # force cut at max_size (chunker.go:295)
+            chunks.append(Chunk(s, hi - s + 1, digest_at(arr, hi, cfg)))
+            s = hi + 1
+        else:  # EOF partial chunk (chunker.go:227-239)
+            pre = cfg.min_size - w
+            hashed = (n - s) - pre
+            if hashed >= w:
+                fp = digest_at(arr, n - 1, cfg)
+            elif hashed <= 0:
+                fp = 1  # digest right after reset = slide(0, 1)
+            else:
+                fp = partial_digest(cfg.pol, data[s + pre : n], w)
+            chunks.append(Chunk(s, n - s, fp))
+            s = n
+    return chunks
+
+
+_BATCH_CONCAT_CAP = 256 * MIB  # above this, fall back to per-row scanning
+
+
+def chunk_batch(payloads: list[bytes], cfg: ChunkerConfig) -> list[list[Chunk]]:
+    """Chunk many byte strings in one vectorized pass.
+
+    All payloads are concatenated into a single contiguous buffer and the
+    rolling hash is evaluated once over it — one blocked NumPy scan for the
+    whole Arrow batch instead of one dispatch per row. Digest windows that
+    straddle a row boundary are garbage, but each row's candidate range
+    starts at ``row_start + window - 1`` so they are never consulted.
+    """
+    if not payloads:
+        return []
+    total = sum(len(p) for p in payloads)
+    if total > _BATCH_CONCAT_CAP or len(payloads) == 1:
+        return [chunk_bytes(p, cfg) for p in payloads]
+    concat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    cand_pos, cand_fp = _scan_all(concat, cfg)
+    w = cfg.window
+    out: list[list[Chunk]] = []
+    start = 0
+    for p in payloads:
+        n = len(p)
+        if n == 0:
+            out.append([])
+            continue
+        end = start + n
+        i0 = int(np.searchsorted(cand_pos, start + w - 1))
+        i1 = int(np.searchsorted(cand_pos, end))
+        out.append(
+            _cut_scan(
+                n,
+                cand_pos[i0:i1] - start,
+                cand_fp[i0:i1],
+                concat[start:end],
+                p,
+                cfg,
+            )
+        )
+        start = end
+    return out
