@@ -1,0 +1,103 @@
+"""Iterative connected components over the candidate-edge DataFrame.
+
+Alternating large-star / small-star (Kiveris et al., "Connected Components
+in MapReduce and Beyond") — O(log^2 n) rounds, skew-tolerant because every
+round's groupBy(min) is a partial aggregation (map-side combine absorbs hot
+nodes). Each round localCheckpoints to truncate lineage (SURVEY.md §4 —
+no Catalyst primitive exists for iteration).
+
+Result: (file_id, component) where component = min file_id of the cluster,
+plus singleton components for vertices given in `all_nodes`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge set as (a<b) canonical pairs, self-loops dropped."""
+    return (
+        edges.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u})."""
+    nbrs = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    mins = nbrs.groupBy("a").agg(F.min("b").alias("mb")).select(
+        "a", F.least("mb", "a").alias("m")
+    )
+    return (
+        nbrs.join(mins, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every smaller-or-equal neighbor of u (and u) to the min."""
+    nbrs = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).where(F.col("b") <= F.col("a"))
+    mins = nbrs.groupBy("a").agg(F.min("b").alias("m"))
+    return (
+        nbrs.join(mins, "a")
+        .select(F.col("b").alias("x"), F.col("m"))
+        .unionByName(mins.select(F.col("a").alias("x"), F.col("m")))
+        .select(F.col("x").alias("a"), F.col("m").alias("b"))
+    )
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    all_nodes: DataFrame | None = None,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(file_id, component) for every node; component = cluster min id.
+
+    all_nodes: optional (file_id) DataFrame — nodes with no edges become
+    singleton components. Raises if not converged in max_iterations.
+    """
+    cur = _canonical(edges).localCheckpoint()
+    prev_sig = None
+    for _ in range(max_iterations):
+        cur = _canonical(_small_star(_large_star(cur))).localCheckpoint()
+        sig = _signature(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected components: no fixpoint in {max_iterations} rounds")
+
+    # at fixpoint the edge set is a star forest rooted at each component min
+    assign = cur.select(F.col("b").alias("file_id"), F.col("a").alias("component"))
+    roots = cur.select(F.col("a").alias("file_id")).distinct().withColumn(
+        "component", F.col("file_id")
+    )
+    comp = assign.unionByName(roots).groupBy("file_id").agg(
+        F.min("component").alias("component")
+    )
+    if all_nodes is not None:
+        comp = (
+            all_nodes.select("file_id")
+            .distinct()
+            .join(comp, "file_id", "left")
+            .withColumn("component", F.coalesce("component", "file_id"))
+        )
+    return comp

@@ -1,0 +1,144 @@
+"""Exact-substring containment pass (suffix-array verified).
+
+Candidate generation is chunk-key sharing: if file A is embedded verbatim in
+file B, all of A's *interior* content-defined chunks reappear among B's
+chunks (CDC cut points are content-local — only chunks near the embedding
+boundary differ). So:
+
+  candidates = chunk_index-exploded (k, file_id) self-join on k,
+               chunk keys shared by > key_freq_cap files excluded
+               (a chunk every boilerplate file carries is not containment
+               evidence, and excluding it bounds the join's skew),
+               grouped to (a, b) with shared-chunk count,
+               kept when shared >= containment_frac * n_chunks(smaller side).
+
+Verification runs per candidate pair inside applyInPandas: a generalized
+suffix-array binary search of the smaller content in the larger one (no
+Python per-row loops over bytes — sorting and searching are
+O(n log n)/O(m log n)).
+
+Reference tie-in: this generalizes libchunk's exact content addressing
+(bits/config.go:42-44) from whole-chunk identity to cross-file containment.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def suffix_array(s: bytes) -> np.ndarray:
+    """Suffix array by prefix doubling (O(n log^2 n), NumPy argsorts)."""
+    n = len(s)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = np.frombuffer(s, dtype=np.uint8).astype(np.int64)
+    sa = np.argsort(rank, kind="stable")
+    k = 1
+    while k < n:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        new_rank = np.empty(n, dtype=np.int64)
+        new_rank[order[0]] = 0
+        prev = order[:-1]
+        cur = order[1:]
+        bump = (rank[cur] != rank[prev]) | (key2[cur] != key2[prev])
+        new_rank[cur] = np.cumsum(bump)
+        rank = new_rank
+        sa = order
+        if rank[sa[-1]] == n - 1:
+            break
+        k *= 2
+    return sa
+
+
+def contains_via_sa(haystack: bytes, sa: np.ndarray, needle: bytes) -> bool:
+    """Binary search the suffix array for a suffix starting with needle."""
+    lo, hi = 0, len(sa)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if haystack[sa[mid] : sa[mid] + len(needle)] < needle:
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo < len(sa) and haystack[sa[lo] : sa[lo] + len(needle)] == needle
+
+
+def containment_candidates(
+    chunks: DataFrame,
+    file_keys: DataFrame,
+    containment_frac: float = 0.5,
+    key_freq_cap: int = 64,
+    min_shared: int = 1,
+) -> DataFrame:
+    """(a, b, shared, n_a, n_b) candidate containment pairs via shared keys."""
+    freq = chunks.groupBy("k").agg(F.count("*").alias("freq"))
+    rare = (
+        chunks.select("file_id", "k")
+        .join(freq.where(F.col("freq") <= key_freq_cap), "k")
+        .select("file_id", "k")
+    )
+    l, r = rare.alias("l"), rare.alias("r")
+    shared = (
+        l.join(r, "k")
+        .where(F.col("l.file_id") < F.col("r.file_id"))
+        .groupBy(F.col("l.file_id").alias("a"), F.col("r.file_id").alias("b"))
+        .agg(F.countDistinct("k").alias("shared"))
+    )
+    counts = file_keys.select("file_id", "n_chunks")
+    return (
+        shared.join(
+            counts.select(F.col("file_id").alias("a"), F.col("n_chunks").alias("n_a")),
+            "a",
+        )
+        .join(
+            counts.select(F.col("file_id").alias("b"), F.col("n_chunks").alias("n_b")),
+            "b",
+        )
+        .where(
+            (F.col("shared") >= min_shared)
+            & (
+                F.col("shared")
+                >= containment_frac * F.least("n_a", "n_b")
+            )
+        )
+        .select("a", "b", "shared", "n_a", "n_b")
+    )
+
+
+_VERIFY_SCHEMA = "a long, b long, contained boolean, container long"
+
+
+def verify_containment(candidates: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Suffix-array check of candidate pairs → verified containment edges.
+
+    Joins both contents onto each pair, then applyInPandas groups (hashed by
+    pair id so partitions stay balanced) build the larger side's suffix array
+    and binary-search the smaller side. Returns rows only for verified pairs,
+    with `container` = file_id of the embedding side.
+    """
+    texts = corpus.select("file_id", "content")
+    paired = (
+        candidates.select("a", "b")
+        .join(texts.select(F.col("file_id").alias("a"), F.col("content").alias("ca")), "a")
+        .join(texts.select(F.col("file_id").alias("b"), F.col("content").alias("cb")), "b")
+        .withColumn("bucket", F.pmod(F.xxhash64("a", "b"), F.lit(64)))
+    )
+
+    def check(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for a, b, ca, cb in zip(pdf["a"], pdf["b"], pdf["ca"], pdf["cb"]):
+            xa = ca.encode("utf-8")
+            xb = cb.encode("utf-8")
+            small, large = (xa, xb) if len(xa) <= len(xb) else (xb, xa)
+            container = b if len(xa) <= len(xb) else a
+            sa = suffix_array(large)
+            ok = contains_via_sa(large, sa, small)
+            if ok:
+                rows.append((int(a), int(b), True, int(container)))
+        return pd.DataFrame(rows, columns=["a", "b", "contained", "container"])
+
+    return paired.groupBy("bucket").applyInPandas(check, _VERIFY_SCHEMA).drop("bucket")

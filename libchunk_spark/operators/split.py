@@ -1,0 +1,81 @@
+"""split (put) — corpus → content-addressable chunk index + ordered key lists.
+
+Spark-first re-expression of bits.Put (/root/reference/bits/put.go:13-109):
+the reference's goroutine fan-out/fan-in with an order guard (put.go:86-93)
+becomes *order carried as data*: every chunk row has (file_id, pos) from the
+offsets UDF, so reassembly sorts instead of synchronizing. Chunk payloads and
+sha256 K-keys (bits/config.go:42-44) are derived JVM-side with
+substring+sha2 — payload bytes never cross the Arrow boundary.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from libchunk_spark.chunker.rabin import ChunkerConfig
+from libchunk_spark.functions.udfs import make_chunk_offsets_udf, utf8_bytes
+
+
+@dataclass
+class SplitResult:
+    chunks: DataFrame  # (file_id, pos, start, length, cut_fp, k, chunk)
+    chunk_index: DataFrame  # (k, length, cut_fp, chunk) — one row per distinct k
+    file_keys: DataFrame  # (file_id, content_sha256, n_chunks, keys[])
+
+
+def split(corpus: DataFrame, cfg: ChunkerConfig, keep_payload: bool = True) -> SplitResult:
+    """Chunk every corpus row; build the chunk index and per-file key lists.
+
+    corpus must have (file_id, content). The chunk udf returns offsets only;
+    k = sha2(substring(content_bytes, start+1, length), 256) runs in the JVM
+    (whole-stage codegen), mirroring KeyHash=sha256 (bits/config.go:42-44).
+    """
+    chunk_udf = make_chunk_offsets_udf(cfg)
+    cb = utf8_bytes(F.col("content"))
+    exploded = (
+        corpus.select("file_id", cb.alias("cb"))
+        .select("file_id", "cb", F.explode(chunk_udf(F.col("cb"))).alias("c"))
+        .select(
+            "file_id",
+            F.col("c.pos").alias("pos"),
+            F.col("c.start").alias("start"),
+            F.col("c.length").alias("length"),
+            F.col("c.cut_fp").alias("cut_fp"),
+            F.expr("substring(cb, c.start + 1, c.length)").alias("chunk"),
+        )
+    )
+    chunks = exploded.withColumn("k", F.sha2(F.col("chunk"), 256))
+    if not keep_payload:
+        chunks = chunks.drop("chunk")
+
+    # idempotent-put semantics (bits/store/bolt.go:52-55): one row per k
+    index_cols = ["k", "length", "cut_fp"] + (["chunk"] if keep_payload else [])
+    chunk_index = chunks.select(*index_cols).dropDuplicates(["k"])
+
+    grouped = chunks.groupBy("file_id").agg(
+        F.count("*").cast("int").alias("n_chunks"),
+        # order is data: sort (pos, k) structs, project k — replaces the
+        # reference's fan-in monotonicity guard (put.go:86-93)
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "k"))), lambda s: s.k
+        ).alias("keys"),
+    )
+    # left join keeps zero-chunk (empty content) files: they get an empty key
+    # list, mirroring the reference (empty stream -> zero keys -> empty join)
+    file_keys = (
+        corpus.select(
+            "file_id",
+            F.sha2(utf8_bytes(F.col("content")), 256).alias("content_sha256"),
+        )
+        .join(grouped, "file_id", "left")
+        .select(
+            "file_id",
+            "content_sha256",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("keys", F.array().cast("array<string>")).alias("keys"),
+        )
+    )
+    return SplitResult(chunks=chunks, chunk_index=chunk_index, file_keys=file_keys)

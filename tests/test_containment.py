@@ -1,0 +1,76 @@
+"""Suffix-array and containment-pass tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from libchunk_spark.config import CORPUS_PIPELINE_CONFIG as CFG
+from libchunk_spark.fixtures import corpus_to_spark, generate_corpus
+from libchunk_spark.operators.containment import (
+    containment_candidates,
+    contains_via_sa,
+    suffix_array,
+    verify_containment,
+)
+from libchunk_spark.operators.split import split
+
+
+def test_suffix_array_correct():
+    s = b"banana"
+    sa = suffix_array(s)
+    suffixes = [s[i:] for i in sa]
+    assert suffixes == sorted(s[i:] for i in range(len(s)))
+
+
+def test_suffix_array_random():
+    rng = np.random.default_rng(4)
+    s = rng.integers(0, 4, 500, dtype=np.uint8).tobytes()  # small alphabet
+    sa = suffix_array(s)
+    suffixes = [s[i:] for i in sa]
+    assert suffixes == sorted(s[i:] for i in range(len(s)))
+
+
+def test_contains_via_sa():
+    hay = b"the quick brown fox jumps over the lazy dog"
+    sa = suffix_array(hay)
+    assert contains_via_sa(hay, sa, b"brown fox")
+    assert contains_via_sa(hay, sa, b"the lazy dog")
+    assert not contains_via_sa(hay, sa, b"purple fox")
+    assert contains_via_sa(hay, sa, b"")
+
+
+def test_containment_pass_finds_planted_embeddings(spark):
+    rows = generate_corpus(n_files=150, seed=31)
+    planted = [
+        (r.file_id, r.family) for r in rows if r.kind == "container"
+    ]
+    assert planted, "fixture must plant containment cases"
+    corpus = corpus_to_spark(spark, rows).cache()
+    sp = split(corpus, CFG.chunk)
+    cands = containment_candidates(sp.chunks, sp.file_keys)
+    verified = verify_containment(cands, corpus)
+    got = {(r["a"], r["b"]) for r in verified.collect()}
+    # every planted (base_file -> container_file) pair must be verified,
+    # except bases too small to produce shareable interior chunks
+    sizes = {r.file_id: len(r.content) for r in rows}
+    misses = []
+    for fid, fam in planted:
+        a, b = sorted((fid, fam))
+        if sizes[fam] >= 4 * CFG.chunk.min_size and (a, b) not in got:
+            misses.append((a, b))
+    assert not misses, f"planted containments missed: {misses}"
+
+
+def test_verified_containment_is_true_substring(spark):
+    rows = generate_corpus(n_files=100, seed=55)
+    content = {r.file_id: r.content for r in rows}
+    corpus = corpus_to_spark(spark, rows)
+    sp = split(corpus, CFG.chunk)
+    verified = verify_containment(
+        containment_candidates(sp.chunks, sp.file_keys), corpus
+    ).collect()
+    for r in verified:
+        small, large = sorted((r["a"], r["b"]), key=lambda f: len(content[f]))
+        assert content[small] in content[large]
+        assert r["container"] == large

@@ -1,0 +1,132 @@
+"""Pipeline dup-pair recall vs the brute-force oracle (BASELINE.md: >= 0.99)
+plus unit tests of the signature kernels and the components operator."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from libchunk_spark.config import CORPUS_PIPELINE_CONFIG as CFG
+from libchunk_spark.config import SignatureConfig
+from libchunk_spark.fixtures import corpus_to_spark, generate_corpus
+from libchunk_spark.functions.signatures import (
+    jaccard,
+    minhash_signature,
+    shingle_hashes,
+    simhash,
+)
+from libchunk_spark.operators.components import connected_components
+from libchunk_spark.operators.containment import (
+    containment_candidates,
+    verify_containment,
+)
+from libchunk_spark.operators.lsh import (
+    minhash_candidate_edges,
+    simhash_candidate_edges,
+)
+from libchunk_spark.operators.sign import sign
+from libchunk_spark.operators.split import split
+from libchunk_spark.oracle import oracle_dup_pairs, pair_recall
+
+
+def test_minhash_estimates_jaccard():
+    rng = np.random.default_rng(0)
+    cfg = SignatureConfig(num_perms=256, bands=64)
+    a = rng.integers(0, 2**63, 400, dtype=np.uint64)
+    b = np.concatenate([a[:300], rng.integers(0, 2**63, 100, dtype=np.uint64)])
+    a_u = np.unique(a)
+    b_u = np.unique(b)
+    true_j = jaccard(a_u, b_u)
+    sa = minhash_signature(a_u, cfg)
+    sb = minhash_signature(b_u, cfg)
+    est = (sa == sb).mean()
+    assert abs(est - true_j) < 0.12
+
+
+def test_simhash_close_for_similar_sets():
+    rng = np.random.default_rng(1)
+    cfg = SignatureConfig()
+    a = rng.integers(0, 2**63, 500, dtype=np.uint64)
+    b = np.concatenate([a[:490], rng.integers(0, 2**63, 10, dtype=np.uint64)])
+    ha, hb = simhash(np.unique(a), cfg), simhash(np.unique(b), cfg)
+    assert bin(ha ^ hb).count("1") <= 12
+    c = rng.integers(0, 2**63, 500, dtype=np.uint64)
+    hc = simhash(np.unique(c), cfg)
+    assert bin(ha ^ hc).count("1") >= 20
+
+
+def test_shingles_content_defined():
+    """Editing one region changes only nearby shingles (CDC locality)."""
+    rng = np.random.default_rng(2)
+    base = rng.integers(0, 256, 8000, dtype=np.uint8).tobytes()
+    edited = base[:4000] + b"XYZZY" + base[4010:]
+    sa = shingle_hashes(base, CFG.shingle)
+    sb = shingle_hashes(edited, CFG.shingle)
+    assert jaccard(sa, sb) > 0.8
+
+
+@pytest.fixture(scope="module")
+def corpus_rows():
+    return generate_corpus(n_files=300, seed=123)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_rows):
+    return oracle_dup_pairs(
+        [r.file_id for r in corpus_rows],
+        [r.content.encode() for r in corpus_rows],
+        CFG,
+    )
+
+
+def test_recall_vs_oracle(spark, corpus_rows, oracle):
+    """The acceptance gate: dup-pair recall >= 0.99 at the same config."""
+    assert len(oracle.pairs) >= 50  # corpus must be non-trivial
+    corpus = corpus_to_spark(spark, corpus_rows).cache()
+    sigs = sign(corpus, CFG).cache()
+    sp = split(corpus, CFG.chunk)
+    edges = (
+        minhash_candidate_edges(sigs, CFG)
+        .unionByName(simhash_candidate_edges(sigs, CFG))
+        .unionByName(
+            verify_containment(
+                containment_candidates(sp.chunks, sp.file_keys), corpus
+            ).select("a", "b")
+        )
+    )
+    comp = connected_components(edges, all_nodes=corpus.select("file_id"))
+    assign = {r["file_id"]: r["component"] for r in comp.collect()}
+    recall = pair_recall(assign, oracle)
+    assert recall >= 0.99, f"recall {recall:.4f} < 0.99"
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 9)], "a long, b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 9, 42]], "file_id long")
+    comp = connected_components(edges, all_nodes=nodes)
+    got = {r["file_id"]: r["component"] for r in comp.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9, 42: 42}
+
+
+def test_connected_components_chain_converges(spark):
+    """Long path graph — worst case for naive propagation."""
+    n = 200
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], "a long, b long")
+    comp = connected_components(edges)
+    assert comp.select("component").distinct().count() == 1
+    assert comp.count() == n + 1
+
+
+def test_star_edges_preserve_connectivity(spark):
+    """Star mode must yield identical components to allpairs mode."""
+    rows = generate_corpus(n_files=120, seed=77)
+    corpus = corpus_to_spark(spark, rows).cache()
+    sigs = sign(corpus, CFG).cache()
+    star = minhash_candidate_edges(sigs, CFG, mode="star")
+    allp = minhash_candidate_edges(sigs, CFG, mode="allpairs")
+    c1 = connected_components(star, all_nodes=corpus.select("file_id"))
+    c2 = connected_components(allp, all_nodes=corpus.select("file_id"))
+    assert c1.exceptAll(c2).count() == 0 and c2.exceptAll(c1).count() == 0
