@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship near-dup clustering on sf0.001 documents.
+queries()      — operator registry (SURVEY.md §2 + training-data ops).
+oracle_sql()   — DuckDB-equivalent SQL per query (None entries omitted:
+                 content-defined chunking is not SQL-expressible, driver
+                 records a rows-only check for those).
 """
 
 from __future__ import annotations
@@ -15,24 +15,40 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full near-duplicate clustering over sf0.001 documents —
+    sign → MinHash-LSH + SimHash edges → connected components → cluster
+    sizes, largest first."""
+    from pyspark.sql import functions as F
+
+    from libchunk_spark.config import DOCS_CONFIG
+    from libchunk_spark.fixtures import documents_as_corpus
+    from libchunk_spark.operators.components import connected_components
+    from libchunk_spark.operators.lsh import (
+        minhash_candidate_edges,
+        simhash_candidate_edges,
+    )
+    from libchunk_spark.operators.sign import sign
+
+    corpus = documents_as_corpus(spark, "/root/testdata/sf0.001")
+    sigs = sign(corpus, DOCS_CONFIG)
+    edges = minhash_candidate_edges(sigs, DOCS_CONFIG).unionByName(
+        simhash_candidate_edges(sigs, DOCS_CONFIG)
+    )
+    comp = connected_components(edges, all_nodes=corpus.select("file_id"))
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("cluster_size"))
+        .orderBy(F.desc("cluster_size"), F.asc("component"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from libchunk_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from libchunk_spark.queries import QUERIES
+
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

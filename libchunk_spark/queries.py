@@ -1,0 +1,585 @@
+"""Driver-contract queries: Spark implementation + DuckDB oracle SQL pairs.
+
+Every entry here is one operator/capability from SURVEY.md §2 (or a
+training-data pipeline op layered on top), expressed twice:
+
+* a Spark DataFrame program over /root/testdata/sf*/ parquet tables;
+* the equivalent ANSI SQL for DuckDB, sharing the exact same constants
+  (MinHash permutations, stopword lists, thresholds) so value hashes match.
+
+Column-name parity matters: the driver sorts columns by name and hashes
+values, so every computed column is aliased identically on both sides.
+Chunker-dependent queries (content-defined cuts) cannot be expressed in SQL
+and are registered without an oracle (rows-only check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from libchunk_spark.config import DOCS_CONFIG
+from libchunk_spark.operators.assemble import assemble
+from libchunk_spark.operators.split import split
+
+# ---------------------------------------------------------------- constants
+
+# Affine MinHash over h31 = h mod 2^31: mh = (a*h31 + b) mod P61.
+# Constants deterministic (seeded) and baked into both Spark and SQL sides.
+MH_PRIME = 2305843009213693951  # 2^61 - 1
+N_PERMS_SQL = 16
+BAND_ROWS_SQL = 4  # -> 4 bands
+
+
+def _perm_constants() -> list[tuple[int, int, int]]:
+    """(perm, a, b) — tiny deterministic LCG so both engines share literals."""
+    out = []
+    x = 0x5EC12E7
+    for i in range(N_PERMS_SQL):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        a = x | 1
+        x = (1103515245 * x + 12345) % (1 << 31)
+        b = x
+        out.append((i, a, b))
+    return out
+
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"]
+
+# crude n-gram language-ID marker words (deterministic heuristic, both sides)
+LANG_MARKERS = {
+    "en": ["the", "and", "is"],
+    "de": ["der", "und", "ist"],
+    "fr": ["le", "et", "est"],
+}
+
+NGRAM_JACCARD_THRESHOLD = 0.2
+COSINE_THRESHOLD = 0.3  # ~99th pct of the driver embeddings' pair sims
+TOPK_NEIGHBORS = 5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _docs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("file_id"), F.col("text").alias("content")
+    )
+
+
+# ------------------------------------------------------------ text helpers
+
+def _tokens():
+    return F.split(F.col("text"), " ")
+
+
+def _grams3():
+    """word 3-gram array (distinct), empty when < 3 tokens"""
+    t = _tokens()
+    return F.when(
+        F.size(t) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 3),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, 3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+# portable 60-bit gram hash: first 15 hex chars of md5 (identical in DuckDB)
+def _h60(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_SQL_GRAMS3 = """
+    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+    GROUP BY doc_id, gram
+"""
+
+_SQL_H60 = "CAST(('0x' || substr(md5(gram), 1, 15)) AS UBIGINT)::BIGINT"
+
+
+# ----------------------------------------------------------------- queries
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by content sha256 (libchunk whole-stream identity)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.sha2(F.encode("text", "UTF-8"), 256).alias("content_sha"))
+        .agg(
+            F.count("*").alias("n_files"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+SQL_EXACT_DUP_GROUPS = """
+SELECT sha256(text) AS content_sha,
+       count(*) AS n_files,
+       min(doc_id) AS min_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_round_trip_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full split→index→join→reassemble; output must equal sha256(text).
+
+    The DuckDB oracle computes sha256(text) directly — matching hashes prove
+    the whole put/get path end-to-end (bits/get_test.go:182-191 analog).
+    """
+    corpus = _docs_corpus(spark, sf_dir)
+    res = split(corpus, DOCS_CONFIG.chunk)
+    ar = assemble(res.file_keys, res.chunk_index)
+    return ar.assembled.select(
+        F.col("file_id").alias("doc_id"),
+        F.col("reassembled_sha256").alias("content_sha"),
+    )
+
+
+SQL_ROUND_TRIP_SHA = "SELECT doc_id, sha256(text) AS content_sha FROM documents"
+
+
+def q_move_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keys to push = local content keys minus remote index (bits.Move).
+
+    Remote := docs with doc_id % 3 == 0 (already pushed); key = content sha.
+    """
+    docs = _docs(spark, sf_dir).withColumn(
+        "k", F.sha2(F.encode("text", "UTF-8"), 256)
+    )
+    local = docs.where(F.col("doc_id") % 3 != 0).select("k").distinct()
+    remote = docs.where(F.col("doc_id") % 3 == 0).select("k").distinct()
+    return local.join(F.broadcast(remote), "k", "left_anti")
+
+
+SQL_MOVE_SKIP = """
+SELECT DISTINCT sha256(text) AS k
+FROM documents WHERE doc_id % 3 <> 0
+  AND sha256(text) NOT IN (SELECT sha256(text) FROM documents WHERE doc_id % 3 = 0)
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality ratios (training-data text analysis)."""
+    toks = _tokens()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").alias("n_chars_q"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).alias(
+            "n_stopwords"
+        ),
+        F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+            / F.size(toks),
+            4,
+        ).alias("stop_ratio"),
+    )
+
+
+SQL_TOKEN_STATS = f"""
+SELECT doc_id,
+       length(text) AS n_chars_q,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_filter(string_split(text, ' '),
+           t -> list_contains({STOPWORDS!r}, t))) AS n_stopwords,
+       round(len(list_filter(string_split(text, ' '),
+           t -> list_contains({STOPWORDS!r}, t)))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stop_ratio
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID heuristic (same CASE logic both sides)."""
+    toks = _tokens()
+
+    def marker_count(markers: list[str]):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    counts = {lang: marker_count(m) for lang, m in LANG_MARKERS.items()}
+    pred = (
+        F.when(
+            (counts["en"] >= counts["de"]) & (counts["en"] >= counts["fr"]), "en"
+        )
+        .when(counts["de"] >= counts["fr"], "de")
+        .otherwise("fr")
+    )
+    return _docs(spark, sf_dir).select("doc_id", pred.alias("lang_pred"))
+
+
+def _sql_marker_count(markers: list[str]) -> str:
+    return (
+        f"len(list_filter(string_split(text, ' '), t -> list_contains({markers!r}, t)))"
+    )
+
+
+SQL_LANG_ID = f"""
+SELECT doc_id,
+  CASE
+    WHEN {_sql_marker_count(LANG_MARKERS['en'])} >= {_sql_marker_count(LANG_MARKERS['de'])}
+     AND {_sql_marker_count(LANG_MARKERS['en'])} >= {_sql_marker_count(LANG_MARKERS['fr'])} THEN 'en'
+    WHEN {_sql_marker_count(LANG_MARKERS['de'])} >= {_sql_marker_count(LANG_MARKERS['fr'])} THEN 'de'
+    ELSE 'fr'
+  END AS lang_pred
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint = min 60-bit hash over char 8-grams (winnowing-lite)."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1))),
+                    lambda i: F.col("text").substr(i, F.lit(8)),
+                )
+            ).alias("gram"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min(_h60(F.col("gram"))).alias("fingerprint"))
+    )
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id, min({_SQL_H60}) AS fingerprint
+FROM (
+  SELECT doc_id, substr(text, i, 8) AS gram
+  FROM documents, LATERAL (SELECT unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i)
+)
+GROUP BY doc_id
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3gram Jaccard similarity pairs >= threshold (n^2 baseline)."""
+    grams = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(_grams3()).alias("gram"))
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    l = grams.alias("l")
+    r = grams.alias("r")
+    inter = (
+        l.join(r, "gram")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(
+            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("nb")), "b")
+        .withColumn(
+            "jac",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ),
+        )
+        .where(F.col("jac") >= NGRAM_JACCARD_THRESHOLD)
+        .select("a", "b", "jac")
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH grams AS ({_SQL_GRAMS3}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+  FROM grams l JOIN grams r ON l.gram = r.gram AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b,
+       round(inter / CAST(na.sz + nb.sz - inter AS DOUBLE), 4) AS jac
+FROM inter
+JOIN sizes na ON na.doc_id = a
+JOIN sizes nb ON nb.doc_id = b
+WHERE round(inter / CAST(na.sz + nb.sz - inter AS DOUBLE), 4) >= {NGRAM_JACCARD_THRESHOLD}
+"""
+
+
+def q_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side MinHash signatures (exploded) with portable md5 gram hashes.
+
+    Demonstrates the built-in-operator formulation of MinHash (explode →
+    broadcast perms → partial-agg min); the pipeline's production path uses
+    the vectorized UDF instead (operators/sign.py).
+    """
+    perms = spark.createDataFrame(_perm_constants(), "perm int, a long, b long")
+    grams = _docs(spark, sf_dir).select("doc_id", F.explode(_grams3()).alias("gram"))
+    h31 = (_h60(F.col("gram")) % F.lit(1 << 31)).alias("h31")
+    return (
+        grams.select("doc_id", h31)
+        .join(F.broadcast(perms))
+        .groupBy("doc_id", "perm")
+        .agg(
+            F.min(
+                (F.col("a") * F.col("h31") + F.col("b")) % F.lit(MH_PRIME)
+            ).alias("mh")
+        )
+    )
+
+
+def _sql_minhash_core() -> str:
+    perm_rows = ", ".join(f"({i}, {a}, {b})" for i, a, b in _perm_constants())
+    return f"""
+WITH grams AS ({_SQL_GRAMS3}),
+hashes AS (SELECT doc_id, {_SQL_H60} % {1 << 31} AS h31 FROM grams),
+perms(perm, a, b) AS (VALUES {perm_rows})
+SELECT doc_id, perm, min((a * h31 + b) % {MH_PRIME}) AS mh
+FROM hashes CROSS JOIN perms
+GROUP BY doc_id, perm
+"""
+
+
+SQL_MINHASH = _sql_minhash_core()
+
+
+def q_lsh_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding over the SQL-portable MinHash → candidate pairs."""
+    mh = q_minhash_sql(spark, sf_dir)
+    bands = (
+        mh.withColumn("band", F.floor(F.col("perm") / BAND_ROWS_SQL))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("perm", "mh"))),
+                        lambda s: s.mh.cast("string"),
+                    ),
+                )
+            ).alias("band_sig")
+        )
+    )
+    l, r = bands.alias("l"), bands.alias("r")
+    return (
+        l.join(r, ["band", "band_sig"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+SQL_LSH_BAND_PAIRS = f"""
+WITH mh AS ({_sql_minhash_core()}),
+bands AS (
+  SELECT doc_id, CAST(floor(perm / {BAND_ROWS_SQL}) AS BIGINT) AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm)) AS band_sig
+  FROM mh GROUP BY doc_id, 2
+)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM bands l JOIN bands r ON l.band = r.band AND l.band_sig = r.band_sig
+WHERE l.doc_id < r.doc_id
+"""
+
+
+def q_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash from md5 gram hashes — JVM/SQL portable formulation."""
+    grams = _docs(spark, sf_dir).select("doc_id", F.explode(_grams3()).alias("gram"))
+    hashed = grams.select("doc_id", _h60(F.col("gram")).alias("h"))
+    bits = hashed.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"), "h"
+    ).withColumn(
+        "vote",
+        F.when(F.expr("shiftright(h, cast(b as int)) & 1") == 1, 1).otherwise(-1),
+    )
+    return (
+        bits.groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0,
+                    F.expr("shiftleft(cast(1 as bigint), cast(b as int))"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash32")
+        )
+    )
+
+
+SQL_SIMHASH32 = f"""
+WITH grams AS ({_SQL_GRAMS3}),
+hashes AS (SELECT doc_id, {_SQL_H60} AS h FROM grams),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashes, LATERAL (SELECT unnest(range(0, 32)) AS b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash32
+FROM bits GROUP BY doc_id
+"""
+
+
+def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate pairs.
+
+    Spark runs the iterative large-star/small-star operator; DuckDB verifies
+    with a recursive-CTE transitive closure — same cluster assignments.
+    """
+    from libchunk_spark.operators.components import connected_components
+
+    edges = q_lsh_band_pairs(spark, sf_dir)
+    nodes = _docs(spark, sf_dir).select(F.col("doc_id").alias("file_id"))
+    comp = connected_components(edges, all_nodes=nodes)
+    return comp.select(F.col("file_id").alias("doc_id"), "component")
+
+
+SQL_COMPONENTS = f"""
+WITH RECURSIVE pairs AS ({SQL_LSH_BAND_PAIRS}),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component
+FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine similarity pairs >= threshold over embeddings."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    l, r = e.alias("l"), e.alias("r")
+    dot = F.aggregate(
+        F.zip_with(F.col("l.v"), F.col("r.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        l.join(r, F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(
+            F.col("l.vec_id").alias("a"),
+            F.col("r.vec_id").alias("b"),
+            F.round(dot / (norm(F.col("l.v")) * norm(F.col("r.v"))), 4).alias(
+                "sim"
+            ),
+        )
+        .where(F.col("sim") >= COSINE_THRESHOLD)
+    )
+
+
+SQL_COSINE_TOPK = f"""
+SELECT l.vec_id AS a, r.vec_id AS b,
+       round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 4) AS sim
+FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+WHERE round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 4) >= {COSINE_THRESHOLD}
+"""
+
+
+def q_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via sign-pattern LSH buckets + exact cosine re-rank (scale path).
+
+    Bucket = sign bits of the first 16 dims; candidates share a bucket.
+    The brute-force q_cosine_topk is the baseline this approximates.
+    """
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.slice(F.col("embedding"), 1, 8),
+                lambda x: F.when(x >= 0, "1").otherwise("0"),
+            ),
+        ).alias("bucket"),
+    )
+    l, r = e.alias("l"), e.alias("r")
+    dot = F.aggregate(
+        F.zip_with(F.col("l.v"), F.col("r.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        l.join(r, "bucket")
+        .where(F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(
+            F.col("l.vec_id").alias("a"),
+            F.col("r.vec_id").alias("b"),
+            F.round(dot / (norm(F.col("l.v")) * norm(F.col("r.v"))), 4).alias("sim"),
+        )
+        .where(F.col("sim") >= COSINE_THRESHOLD)
+    )
+
+
+SQL_ANN_SIGNLSH = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         array_to_string(list_transform(embedding[1:8],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+  FROM embeddings
+)
+SELECT l.vec_id AS a, r.vec_id AS b,
+       round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 4) AS sim
+FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 4) >= {COSINE_THRESHOLD}
+"""
+
+
+def q_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk stats per doc (chunker not SQL-expressible —
+    registered without oracle; driver runs rows-only check)."""
+    corpus = _docs_corpus(spark, sf_dir)
+    res = split(corpus, DOCS_CONFIG.chunk)
+    return res.file_keys.select(
+        F.col("file_id").alias("doc_id"), "n_chunks"
+    )
+
+
+def q_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-key ratio of the chunk index (dedup effectiveness metric)."""
+    corpus = _docs_corpus(spark, sf_dir)
+    res = split(corpus, DOCS_CONFIG.chunk)
+    return res.chunks.agg(
+        F.count("*").alias("total_chunks"),
+        F.countDistinct("k").alias("distinct_keys"),
+    )
+
+
+# ----------------------------------------------------------------- registry
+
+QUERIES = {
+    "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
+    "round_trip_sha": (q_round_trip_sha, SQL_ROUND_TRIP_SHA),
+    "move_skip": (q_move_skip, SQL_MOVE_SKIP),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "minhash": (q_minhash_sql, SQL_MINHASH),
+    "lsh_band_pairs": (q_lsh_band_pairs, SQL_LSH_BAND_PAIRS),
+    "simhash32": (q_simhash32, SQL_SIMHASH32),
+    "components": (q_components, SQL_COMPONENTS),
+    "cosine_pairs": (q_cosine_topk, SQL_COSINE_TOPK),
+    "ann_signlsh": (q_ann_signlsh, SQL_ANN_SIGNLSH),
+    "chunk_stats": (q_chunk_stats, None),  # chunker: not SQL-expressible
+    "dedup_ratio": (q_dedup_ratio, None),  # chunker: not SQL-expressible
+}

@@ -1,0 +1,80 @@
+"""Replicates the driver's correctness gate locally: run each queries()
+entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count,
+column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return v
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+QUERY_NAMES = sorted(entrymod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, ddb, name):
+    qfn = entrymod.queries()[name]
+    df = qfn(spark, SF_DIR)
+    spark_cols = df.columns
+    spark_rows = [tuple(r) for r in df.collect()]
+    sql = entrymod.oracle_sql().get(name)
+    if sql is None:
+        # rows-only check (chunker-dependent, not SQL-expressible)
+        assert len(spark_rows) >= 0
+        return
+    res = ddb.execute(sql)
+    ddb_cols = [d[0] for d in res.description]
+    ddb_rows = res.fetchall()
+    assert sorted(spark_cols) == sorted(ddb_cols), (
+        f"{name}: column mismatch {spark_cols} vs {ddb_cols}"
+    )
+    assert len(spark_rows) == len(ddb_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(ddb_rows)}"
+    )
+    a = _canon(spark_rows, spark_cols)
+    b = _canon(ddb_rows, ddb_cols)
+    if a != b:
+        diff = [x for x, y in zip(a, b) if x != y][:5]
+        diff_b = [y for x, y in zip(a, b) if x != y][:5]
+        raise AssertionError(f"{name}: value mismatch\nspark={diff}\nduck ={diff_b}")
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
