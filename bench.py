@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Env:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] cores (default 32)
+  SPARK_GRAFT_BENCH_FILES  synthetic corpus size for throughput (default 20000)
+
+Headline timings cover the driver queries plus the full near-dup pipeline on
+a synthetic source-code corpus (chunk+sign throughput in files/sec and MB/s —
+the BASELINE.md reported metric). Scaling evidence across two parallelism
+levels is produced by jobs/scaling_bench.py (writes BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_bench_files = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "20000"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import functions as F
+
+    from libchunk_spark import queries as Q
+    from libchunk_spark.config import CORPUS_PIPELINE_CONFIG as CCFG
+    from libchunk_spark.fixtures import generate_corpus_fast
+    from libchunk_spark.operators.components import connected_components
+    from libchunk_spark.operators.lsh import (
+        minhash_candidate_edges,
+        simhash_candidate_edges,
+    )
+    from libchunk_spark.operators.sign import sign
+    from libchunk_spark.operators.split import split
+    from libchunk_spark.session import get_spark
+
+    spark = get_spark(app="bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmup: JVM codegen AND the python worker pool (workers pay a one-time
+    # import+fork cost that would otherwise be billed to the first query)
+    warm = spark.createDataFrame(
+        [(i, "warm up text " * 20) for i in range(cpus * 8)],
+        "file_id long, content string",
+    ).repartition(cpus)
+    sign(warm, CCFG).count()
+    split(warm, CCFG.chunk, keep_payload=False).chunks.count()
+    spark.range(1000).select(F.sha2(F.col("id").cast("string"), 256)).count()
+
+    timings: dict[str, float] = {}
+
+    def bench(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # --- driver-table queries (documents/embeddings at sf_dir) ---
+    for qname in [
+        "exact_dup_groups",
+        "round_trip_sha",
+        "minhash",
+        "lsh_band_pairs",
+        "simhash32",
+        "ngram_jaccard_pairs",
+        "components",
+        "cosine_pairs",
+        "chunk_stats",
+    ]:
+        qfn = Q.QUERIES[qname][0]
+        bench(qname, lambda qfn=qfn: qfn(spark, sf_dir).count())
+
+    # --- full pipeline on a synthetic source-code corpus (throughput) ---
+    gen_t0 = time.time()
+    rows = generate_corpus_fast(n_bench_files, seed=42)
+    total_bytes = sum(len(c) for _, c in rows)
+    corpus = (
+        spark.createDataFrame(rows, "file_id long, content string")
+        .repartition(max(cpus * 2, 8))
+        .cache()
+    )
+    corpus.count()
+    gen_sec = time.time() - gen_t0
+
+    t0 = time.time()
+    sigs = sign(corpus, CCFG)
+    sp = split(corpus, CCFG.chunk, keep_payload=False)
+    n_sigs = sigs.count()
+    n_keys = sp.chunk_index.count()
+    chunk_sign_sec = time.time() - t0
+    timings["pipeline_chunk_sign"] = round(chunk_sign_sec, 3)
+
+    t0 = time.time()
+    sigs_c = sign(corpus, CCFG).cache()
+    sigs_c.count()
+    edges = minhash_candidate_edges(sigs_c, CCFG).unionByName(
+        simhash_candidate_edges(sigs_c, CCFG)
+    )
+    comp = connected_components(edges, all_nodes=corpus.select("file_id"))
+    n_clusters = comp.select("component").distinct().count()
+    timings["pipeline_cluster"] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "bench_files": n_bench_files,
+        "bench_mb": round(total_bytes / 1e6, 1),
+        "files_per_sec_chunk_sign": round(n_bench_files / chunk_sign_sec, 1),
+        "mb_per_sec_chunk_sign": round(total_bytes / 1e6 / chunk_sign_sec, 1),
+        "n_chunk_keys": n_keys,
+        "n_clusters": n_clusters,
+        "corpus_gen_sec": round(gen_sec, 3),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,197 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling benchmark → BENCH/BASELINE.md.
+
+The north_rule's scaling criterion (throughput efficiency >= 0.8 between N
+and 4N executors) cannot use a real cluster in this sandbox; per BASELINE.md
+it is evidenced by running the identical job at two local parallelism levels
+on the same input:
+
+    efficiency = (T_N * N) / (T_4N * 4N)
+
+Worker mode:  scaling_bench.py --cpus K --corpus PATH  (prints one JSON line)
+Orchestrator: scaling_bench.py [--files M] [--n 8]     (generates the corpus
+              parquet once, runs K=n and K=4n in subprocesses, writes
+              BENCH/BASELINE.md)
+
+Methodology notes (hard-won):
+* corpus is read from parquet — driver-side createDataFrame pickling is
+  serial and would pollute the measurement;
+* signatures are checkpointed to parquet between the sign and cluster
+  phases (DataFrame.cache() of array columns costs ~20s of boxing);
+* every worker slot is warmed with the real UDFs before timing (python
+  worker fork+import otherwise bills ~10s to the first stage);
+* evaluation is forced through aggregates over UDF output columns — a bare
+  count() lets Catalyst prune the UDF entirely and times nothing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def worker(cpus: int, corpus_path: str) -> None:
+    from pyspark.sql import functions as F
+
+    from libchunk_spark.config import CORPUS_PIPELINE_CONFIG as CFG
+    from libchunk_spark.operators.components import connected_components
+    from libchunk_spark.operators.lsh import (
+        minhash_candidate_edges,
+        simhash_candidate_edges,
+    )
+    from libchunk_spark.operators.sign import sign
+    from libchunk_spark.operators.split import split
+    from libchunk_spark.session import get_spark
+
+    spark = get_spark(app=f"scaling-{cpus}", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    # snappy parquet compresses the corpus into a handful of input splits;
+    # repartition+cache so BOTH parallelism levels see cpus*4 even tasks
+    # (materialized before the timer starts)
+    corpus = spark.read.parquet(corpus_path).repartition(cpus * 4).cache()
+    n_files = corpus.count()
+    total_mb = (
+        corpus.agg(F.sum(F.length("content")).alias("b")).first()["b"] / 1e6
+    )
+    # warm every python worker slot with the real UDF code paths
+    warm = (
+        spark.range(0, cpus * 8, 1, cpus * 2)
+        .selectExpr("id as file_id", "repeat('warm text ', 50) as content")
+    )
+    sign(warm, CFG).agg(F.sum("n_shingles")).collect()
+    split(warm, CFG.chunk, keep_payload=False).chunks.count()
+
+    tmp = tempfile.mkdtemp(prefix=f"scaling{cpus}_")
+    sig_path = os.path.join(tmp, "signatures")
+    try:
+        t0 = time.time()
+        sign(corpus, CFG).write.mode("overwrite").parquet(sig_path)
+        sp = split(corpus, CFG.chunk, keep_payload=False)
+        n_keys = sp.chunk_index.count()
+        chunk_sign_sec = time.time() - t0
+
+        sigs = spark.read.parquet(sig_path)
+        t0 = time.time()
+        edges = minhash_candidate_edges(sigs, CFG).unionByName(
+            simhash_candidate_edges(sigs, CFG)
+        )
+        comp = connected_components(edges, all_nodes=corpus.select("file_id"))
+        n_clusters = comp.select("component").distinct().count()
+        cluster_sec = time.time() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "files": n_files,
+                "mb": round(total_mb, 1),
+                "chunk_sign_sec": round(chunk_sign_sec, 2),
+                "cluster_sec": round(cluster_sec, 2),
+                "total_sec": round(chunk_sign_sec + cluster_sec, 2),
+                "files_per_sec": round(n_files / (chunk_sign_sec + cluster_sec), 1),
+                "mb_per_sec": round(total_mb / (chunk_sign_sec + cluster_sec), 1),
+                "files_per_sec_chunk_sign": round(n_files / chunk_sign_sec, 1),
+                "mb_per_sec_chunk_sign": round(total_mb / chunk_sign_sec, 1),
+                "n_chunk_keys": n_keys,
+                "n_clusters": n_clusters,
+            }
+        )
+    )
+    spark.stop()
+
+
+def _ensure_corpus(n_files: int) -> str:
+    """Generate the benchmark corpus parquet once (reused across rounds)."""
+    path = os.path.join(REPO, "BENCH", f"scaling_corpus_{n_files}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    from libchunk_spark.fixtures import generate_corpus_fast
+    from libchunk_spark.session import get_spark
+
+    spark = get_spark(app="scaling-gen", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = generate_corpus_fast(n_files, seed=42)
+    (
+        spark.createDataFrame(rows, "file_id long, content string")
+        .repartition(128)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    spark.stop()
+    return path
+
+
+def orchestrate(n: int, n_files: int) -> None:
+    corpus_path = _ensure_corpus(n_files)
+    results = {}
+    for cpus in [n, 4 * n]:
+        cmd = [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--cpus",
+            str(cpus),
+            "--corpus",
+            corpus_path,
+        ]
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, cwd=REPO, timeout=3600
+        )
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
+            raise SystemExit(f"worker cpus={cpus} produced no result")
+        results[cpus] = json.loads(lines[-1])
+        print(lines[-1])
+
+    rn, r4 = results[n], results[4 * n]
+    eff = (rn["total_sec"] * n) / (r4["total_sec"] * 4 * n)
+    eff_cs = (rn["chunk_sign_sec"] * n) / (r4["chunk_sign_sec"] * 4 * n)
+    md = f"""# BENCH/BASELINE — measured scaling evidence
+
+Same job (chunk+sign -> LSH/SimHash edges -> connected components), same
+input ({rn['files']} synthetic source files, {rn['mb']} MB, seed 42, read
+from parquet), two parallelism levels — the sandbox stand-in for N vs 4N
+executor clusters (BASELINE.md scaling row).
+
+| parallelism | chunk+sign sec | cluster sec | total sec | files/sec (c+s) | MB/s (c+s) |
+|---|---|---|---|---|---|
+| local[{n}]  | {rn['chunk_sign_sec']} | {rn['cluster_sec']} | {rn['total_sec']} | {rn['files_per_sec_chunk_sign']} | {rn['mb_per_sec_chunk_sign']} |
+| local[{4*n}] | {r4['chunk_sign_sec']} | {r4['cluster_sec']} | {r4['total_sec']} | {r4['files_per_sec_chunk_sign']} | {r4['mb_per_sec_chunk_sign']} |
+
+**Scaling efficiency, chunk+sign throughput = (T_{n}·{n}) / (T_{4*n}·{4*n}) = {eff_cs:.3f}**  (target >= 0.8)
+**Scaling efficiency, total incl. clustering = {eff:.3f}**
+
+Output equality across levels — chunk keys: {rn['n_chunk_keys']} / {r4['n_chunk_keys']};
+clusters: {rn['n_clusters']} / {r4['n_clusters']}.
+
+Reproduce: `python jobs/scaling_bench.py --files {n_files} --n {n}`
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(f"efficiency={eff:.3f} (chunk_sign={eff_cs:.3f}) -> BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--corpus", type=str, default=None)
+    ap.add_argument("--files", type=int, default=120000)
+    ap.add_argument("--n", type=int, default=8)
+    args = ap.parse_args()
+    if args.cpus:
+        worker(args.cpus, args.corpus or _ensure_corpus(args.files))
+    else:
+        orchestrate(args.n, args.files)

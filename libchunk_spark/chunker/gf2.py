@@ -84,6 +84,15 @@ def irreducible(p: int) -> bool:
 
 
 @lru_cache(maxsize=16)
+def window_tables32(pol: int, window: int = WINDOW_SIZE) -> np.ndarray:
+    """Low 32 bits of window_tables — the cut test (digest & splitmask == 0,
+    avg_bits <= 32) only needs the low bits, and uint32 accumulators halve
+    the cache traffic of the hot scan loop (matters when many executor
+    threads share L3)."""
+    return window_tables(pol, window).astype(np.uint32)
+
+
+@lru_cache(maxsize=16)
 def window_tables(pol: int, window: int = WINDOW_SIZE) -> np.ndarray:
     """Per-position contribution tables, shape (window, 256) uint64.
 

@@ -25,7 +25,13 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .gf2 import DEFAULT_POL, WINDOW_SIZE, partial_digest, window_tables
+from .gf2 import (
+    DEFAULT_POL,
+    WINDOW_SIZE,
+    partial_digest,
+    window_tables,
+    window_tables32,
+)
 
 KIB = 1024
 MIB = 1024 * KIB
@@ -94,7 +100,9 @@ def rolling_digests(data: np.ndarray, cfg: ChunkerConfig) -> np.ndarray:
     return out
 
 
-_SCAN_BLOCK = 1 << 16  # positions per block: 512 KiB accumulator, L2-resident
+_SCAN_BLOCK = 1 << 14  # positions per block: 64 KiB uint32 accumulators, L2-resident
+# (sized for MANY concurrent executor threads sharing L3 — larger blocks are
+# marginally faster solo but collapse under 32-way cache contention)
 
 
 def _first_candidate(
@@ -108,13 +116,15 @@ def _first_candidate(
     """First position q in [lo, limit] with digest & splitmask == 0.
 
     Blocked windowed-hash evaluation: per block, 64 ``np.take`` gathers into
-    a cache-resident accumulator (allocation-free via ``out=``), reduced to
-    the first mask hit. Returns (q, digest) or (-1, 0). Positions before
+    a cache-resident uint32 accumulator (allocation-free via ``out=``; the
+    splitmask lives in the low 32 bits), reduced to the first mask hit whose
+    exact 64-bit digest is then recomputed point-wise. Returns (q, digest)
+    or (-1, 0). Positions before
     ``lo`` (the min_size pre-skip, chunker.go:140) are never evaluated.
     """
-    t = window_tables(cfg.pol, cfg.window)
+    t = window_tables32(cfg.pol, cfg.window)
     w = cfg.window
-    mask = np.uint64(cfg.splitmask)
+    mask = np.uint32(cfg.splitmask)
     p = lo
     while p <= limit:
         m = min(acc.shape[0], limit - p + 1)
@@ -128,7 +138,8 @@ def _first_candidate(
         hits = np.nonzero((a & mask) == 0)[0]
         if hits.size:
             h = int(hits[0])
-            return p + h, int(a[h])
+            q = p + h
+            return q, digest_at(data, q, cfg)
         p += m
     return -1, 0
 
@@ -143,27 +154,27 @@ def digest_at(data: np.ndarray, q: int, cfg: ChunkerConfig) -> int:
     return int(acc)
 
 
-def _scan_all(arr: np.ndarray, cfg: ChunkerConfig) -> tuple[np.ndarray, np.ndarray]:
-    """All mask-hit positions and digests over one contiguous byte array.
+def _scan_all(arr: np.ndarray, cfg: ChunkerConfig) -> np.ndarray:
+    """All mask-hit positions over one contiguous byte array.
 
-    Blocked allocation-free take+xor over every window position. Used by the
-    batch path, where many rows are concatenated and scanned in one pass
-    (cross-row windows yield garbage digests at positions the per-row
-    candidate ranges never consult).
+    Blocked allocation-free take+xor over every window position, uint32
+    accumulators (the splitmask fits in the low 32 bits; exact digests are
+    recomputed point-wise at actual cuts only). Used by the batch path,
+    where many rows are concatenated and scanned in one pass (cross-row
+    windows yield garbage digests at positions the per-row candidate ranges
+    never consult).
     """
-    t = window_tables(cfg.pol, cfg.window)
+    t = window_tables32(cfg.pol, cfg.window)
     n = arr.shape[0]
     w = cfg.window
-    mask = np.uint64(cfg.splitmask)
+    mask = np.uint32(cfg.splitmask)
     if n < w:
-        e = np.empty(0, dtype=np.int64)
-        return e, np.empty(0, dtype=np.uint64)
+        return np.empty(0, dtype=np.int64)
     total = n - w + 1
     block = min(_SCAN_BLOCK, total)
-    acc = np.empty(block, dtype=np.uint64)
-    tmp = np.empty(block, dtype=np.uint64)
+    acc = np.empty(block, dtype=np.uint32)
+    tmp = np.empty(block, dtype=np.uint32)
     pos_parts: list[np.ndarray] = []
-    fp_parts: list[np.ndarray] = []
     for p0 in range(0, total, block):
         m = min(block, total - p0)
         a = acc[:m]
@@ -175,17 +186,14 @@ def _scan_all(arr: np.ndarray, cfg: ChunkerConfig) -> tuple[np.ndarray, np.ndarr
         hits = np.nonzero((a & mask) == 0)[0]
         if hits.size:
             pos_parts.append(hits + (p0 + w - 1))
-            fp_parts.append(a[hits].copy())
     if not pos_parts:
-        e = np.empty(0, dtype=np.int64)
-        return e, np.empty(0, dtype=np.uint64)
-    return np.concatenate(pos_parts), np.concatenate(fp_parts)
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(pos_parts)
 
 
 def _cut_scan(
     n: int,
     cand_pos: np.ndarray,
-    cand_fp: np.ndarray,
     arr: np.ndarray,
     data: bytes,
     cfg: ChunkerConfig,
@@ -193,9 +201,9 @@ def _cut_scan(
     """Sequential min/max/EOF pass over candidate cut positions.
 
     ``cand_pos`` holds absolute positions q (index of the window's last
-    byte) where ``digest & splitmask == 0``; ``cand_fp[i]`` is the digest at
-    ``cand_pos[i]``. Non-candidate digests (forced cuts, EOF flush) are
-    recomputed point-wise via digest_at. Replays the reference's per-chunk
+    byte) where ``digest & splitmask == 0``. Digests at chosen cuts (and
+    forced cuts / EOF flush) are recomputed point-wise via digest_at — the
+    scan itself only keeps positions. Replays the reference's per-chunk
     state machine using only the sparse candidate list.
     """
     w = cfg.window
@@ -210,9 +218,8 @@ def _cut_scan(
             i = int(np.searchsorted(cand_pos, lo))
             if i < cand_pos.size and cand_pos[i] <= limit:
                 q = int(cand_pos[i])
-                fp = int(cand_fp[i])
         if q >= 0:
-            chunks.append(Chunk(s, q - s + 1, fp))
+            chunks.append(Chunk(s, q - s + 1, digest_at(arr, q, cfg)))
             s = q + 1
         elif hi <= n - 1:  # force cut at max_size (chunker.go:295)
             chunks.append(Chunk(s, hi - s + 1, digest_at(arr, hi, cfg)))
@@ -245,8 +252,8 @@ def chunk_bytes(data: bytes, cfg: ChunkerConfig) -> list[Chunk]:
     arr = np.frombuffer(data, dtype=np.uint8)
     w = cfg.window
     block = min(_SCAN_BLOCK, n)
-    acc = np.empty(block, dtype=np.uint64)
-    tmp = np.empty(block, dtype=np.uint64)
+    acc = np.empty(block, dtype=np.uint32)
+    tmp = np.empty(block, dtype=np.uint32)
     chunks: list[Chunk] = []
     s = 0
     while s < n:
@@ -294,7 +301,7 @@ def chunk_batch(payloads: list[bytes], cfg: ChunkerConfig) -> list[list[Chunk]]:
     if total > _BATCH_CONCAT_CAP or len(payloads) == 1:
         return [chunk_bytes(p, cfg) for p in payloads]
     concat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
-    cand_pos, cand_fp = _scan_all(concat, cfg)
+    cand_pos = _scan_all(concat, cfg)
     w = cfg.window
     out: list[list[Chunk]] = []
     start = 0
@@ -307,14 +314,7 @@ def chunk_batch(payloads: list[bytes], cfg: ChunkerConfig) -> list[list[Chunk]]:
         i0 = int(np.searchsorted(cand_pos, start + w - 1))
         i1 = int(np.searchsorted(cand_pos, end))
         out.append(
-            _cut_scan(
-                n,
-                cand_pos[i0:i1] - start,
-                cand_fp[i0:i1],
-                concat[start:end],
-                p,
-                cfg,
-            )
+            _cut_scan(n, cand_pos[i0:i1] - start, concat[start:end], p, cfg)
         )
         start = end
     return out

@@ -183,3 +183,42 @@ def documents_as_corpus(spark, sf_dir: str):
             F.col("text").alias("content"),
         )
     )
+
+
+def generate_corpus_fast(
+    n_files: int,
+    seed: int = 42,
+    min_lines: int = 40,
+    max_lines: int = 240,
+    vocab_lines: int = 20000,
+    dup_fraction: float = 0.3,
+) -> "list[tuple[int, str]]":
+    """Large benchmark corpus, vectorized: (file_id, content) tuples.
+
+    Files are sampled from a shared line vocabulary (realistic cross-file
+    shingle overlap); dup_fraction of files reuse an earlier file's line
+    index array with a few perturbations (near-duplicate structure). Orders
+    of magnitude faster than generate_corpus — used for throughput/scaling
+    benchmarks where ground truth isn't needed.
+    """
+    rng = np.random.default_rng(seed)
+    idents = _identifiers(rng, 40)
+    vocab = np.array(
+        [_gen_line(rng, LANGS[i % len(LANGS)], idents) for i in range(2000)]
+        * (vocab_lines // 2000 + 1),
+        dtype=object,
+    )[:vocab_lines]
+    out: list[tuple[int, str]] = []
+    kept: list[np.ndarray] = []
+    for i in range(n_files):
+        if kept and rng.random() < dup_fraction:
+            base = kept[int(rng.integers(len(kept)))]
+            idx = base.copy()
+            for _ in range(max(1, len(idx) // 50)):
+                idx[int(rng.integers(len(idx)))] = int(rng.integers(vocab_lines))
+        else:
+            n = int(rng.integers(min_lines, max_lines))
+            idx = rng.integers(0, vocab_lines, size=n)
+            kept.append(idx)
+        out.append((i, "\n".join(vocab[idx]) + "\n"))
+    return out

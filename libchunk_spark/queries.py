@@ -460,29 +460,48 @@ GROUP BY d.doc_id
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine similarity pairs >= threshold over embeddings."""
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    """Brute-force cosine similarity pairs >= threshold over embeddings.
+
+    Scale path: the right side is broadcast as a NumPy matrix and each
+    partition of left rows computes a vectorized block of the similarity
+    matrix (mapInPandas + BLAS matmul) — no per-pair JVM expression trees.
+    At cluster scale the broadcast side becomes the IVF/LSH-pruned candidate
+    set; here it is the full (small) table.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = (
+        _emb(spark, sf_dir)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
     )
-    l, r = e.alias("l"), e.alias("r")
-    dot = F.aggregate(
-        F.zip_with(F.col("l.v"), F.col("r.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    thr = COSINE_THRESHOLD
+
+    def block(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+            vn = np.sqrt((v * v).sum(axis=1))
+            sims = (v @ b_mat.T) / np.outer(vn, b_norms)
+            sims = np.round(sims, 4)
+            a_ids = pdf["vec_id"].to_numpy()
+            li, ri = np.nonzero((sims >= thr) & (a_ids[:, None] < b_ids[None, :]))
+            yield pd.DataFrame(
+                {"a": a_ids[li], "b": b_ids[ri], "sim": sims[li, ri]}
+            )
+
     return (
-        l.join(r, F.col("l.vec_id") < F.col("r.vec_id"))
-        .select(
-            F.col("l.vec_id").alias("a"),
-            F.col("r.vec_id").alias("b"),
-            F.round(dot / (norm(F.col("l.v")) * norm(F.col("r.v"))), 4).alias(
-                "sim"
-            ),
-        )
-        .where(F.col("sim") >= COSINE_THRESHOLD)
+        _emb(spark, sf_dir)
+        .select("vec_id", "embedding")
+        .mapInPandas(block, "a long, b long, sim double")
     )
 
 

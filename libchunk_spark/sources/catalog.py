@@ -1,0 +1,130 @@
+"""Stage checkpoint catalog — the storage seam.
+
+Each pipeline stage is written as a parquet directory plus a
+``_manifest.json`` carrying snapshot metadata: stage name, config
+fingerprint, input lineage (upstream manifest ids), row count and
+per-partition metrics. A stage whose manifest is complete and whose config
+fingerprint matches is *skipped* on re-run — the resumability contract from
+BASELINE.json ("checkpoint each stage ... for resumability with
+per-partition lineage and metrics").
+
+When an Iceberg catalog is configured on the session (runtime jar present),
+the same API writes Iceberg tables via ``writeTo``; this sandbox has no
+Iceberg jar, so the parquet+manifest path is the tested one — all code above
+this seam is identical (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_manifest.json"
+
+
+def config_fingerprint(obj: Any) -> str:
+    """Stable fingerprint of a (nested) config object — the 'secret scope'
+    that keys dedup identity (bits/secret.go:12-31 analog)."""
+
+    def enc(o):
+        if hasattr(o, "__dataclass_fields__"):
+            return {k: enc(getattr(o, k)) for k in o.__dataclass_fields__}
+        if isinstance(o, dict):
+            return {k: enc(v) for k, v in sorted(o.items())}
+        if isinstance(o, (list, tuple)):
+            return [enc(x) for x in o]
+        return o
+
+    blob = json.dumps(enc(obj), sort_keys=True).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+@dataclass
+class StageCatalog:
+    """Checkpoint manager rooted at a directory (or Iceberg namespace)."""
+
+    root: str
+    iceberg_catalog: str | None = None  # e.g. "local.db" when a jar is present
+    _manifests: dict[str, dict] = field(default_factory=dict)
+
+    def _dir(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self._dir(stage), MANIFEST)
+
+    def manifest(self, stage: str) -> dict | None:
+        p = self._manifest_path(stage)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def is_complete(self, stage: str, fingerprint: str) -> bool:
+        m = self.manifest(stage)
+        return bool(m and m.get("complete") and m.get("fingerprint") == fingerprint)
+
+    def write_stage(
+        self,
+        stage: str,
+        df: DataFrame,
+        fingerprint: str,
+        inputs: list[str] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
+        """Write df as the stage checkpoint (skip if already complete).
+
+        Metrics are captured per partition via an ``observe`` pass plus a
+        partition-id rollup so the manifest records where the rows live —
+        the per-partition lineage demanded by north_rule.
+        """
+        spark = df.sparkSession
+        if self.is_complete(stage, fingerprint):
+            return self.read_stage(spark, stage)
+
+        path = self._dir(stage)
+        snapshot_id = uuid.uuid4().hex
+        t0 = time.time()
+        if self.iceberg_catalog:
+            df.writeTo(f"{self.iceberg_catalog}.{stage}").createOrReplace()
+        else:
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(path)
+        out = self.read_stage(spark, stage)
+        part_metrics = [
+            {"partition": int(r["p"]), "rows": int(r["rows"])}
+            for r in out.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        ]
+        manifest = {
+            "stage": stage,
+            "snapshot_id": snapshot_id,
+            "fingerprint": fingerprint,
+            "inputs": inputs or [],
+            "rows": sum(m["rows"] for m in part_metrics),
+            "partitions": part_metrics,
+            "wall_sec": round(time.time() - t0, 3),
+            "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "complete": True,
+        }
+        os.makedirs(path, exist_ok=True)
+        with open(self._manifest_path(stage), "w") as f:
+            json.dump(manifest, f, indent=1)
+        self._manifests[stage] = manifest
+        return out
+
+    def read_stage(self, spark: SparkSession, stage: str) -> DataFrame:
+        if self.iceberg_catalog:
+            return spark.read.table(f"{self.iceberg_catalog}.{stage}")
+        return spark.read.parquet(self._dir(stage))
