@@ -74,6 +74,10 @@ def worker(cpus: int, corpus_path: str) -> None:
     tmp = tempfile.mkdtemp(prefix=f"scaling{cpus}_")
     sig_path = os.path.join(tmp, "signatures")
     try:
+        # NB: separate sign/split passes beat operators.fused here because
+        # the corpus is memory-cached (the fused frame's per-chunk nullable
+        # array columns cost more to write than the second scan saves);
+        # fused wins when content comes from cold storage instead.
         t0 = time.time()
         sign(corpus, CFG).write.mode("overwrite").parquet(sig_path)
         sp = split(corpus, CFG.chunk, keep_payload=False)
@@ -133,7 +137,7 @@ def _ensure_corpus(n_files: int) -> str:
     return path
 
 
-def orchestrate(n: int, n_files: int) -> None:
+def orchestrate(n: int, n_files: int, repeats: int = 2) -> None:
     corpus_path = _ensure_corpus(n_files)
     results = {}
     for cpus in [n, 4 * n]:
@@ -145,15 +149,25 @@ def orchestrate(n: int, n_files: int) -> None:
             "--corpus",
             corpus_path,
         ]
-        out = subprocess.run(
-            cmd, capture_output=True, text=True, cwd=REPO, timeout=3600
-        )
-        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
-        if not lines:
-            sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
-            raise SystemExit(f"worker cpus={cpus} produced no result")
-        results[cpus] = json.loads(lines[-1])
-        print(lines[-1])
+        if shutil.which("taskset"):
+            # pin the whole process tree (JVM + python workers) to exactly
+            # `cpus` physical CPUs — otherwise the small run's JVM threads
+            # borrow the idle cores and the comparison flatters local[N]
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        best = None
+        for _ in range(repeats):  # best-of-N: host noise is +-25% per run
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, cwd=REPO, timeout=3600
+            )
+            lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if not lines:
+                sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
+                raise SystemExit(f"worker cpus={cpus} produced no result")
+            r = json.loads(lines[-1])
+            print(lines[-1])
+            if best is None or r["total_sec"] < best["total_sec"]:
+                best = r
+        results[cpus] = best
 
     rn, r4 = results[n], results[4 * n]
     eff = (rn["total_sec"] * n) / (r4["total_sec"] * 4 * n)
@@ -176,6 +190,8 @@ executor clusters (BASELINE.md scaling row).
 Output equality across levels — chunk keys: {rn['n_chunk_keys']} / {r4['n_chunk_keys']};
 clusters: {rn['n_clusters']} / {r4['n_clusters']}.
 
+Timings are best-of-N subprocess runs per level (host noise is +-25%);
+both levels are taskset-pinned to exactly their core count.
 Reproduce: `python jobs/scaling_bench.py --files {n_files} --n {n}`
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -189,9 +205,10 @@ if __name__ == "__main__":
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--corpus", type=str, default=None)
     ap.add_argument("--files", type=int, default=120000)
-    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--n", type=int, default=4)
+    ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
     if args.cpus:
         worker(args.cpus, args.corpus or _ensure_corpus(args.files))
     else:
-        orchestrate(args.n, args.files)
+        orchestrate(args.n, args.files, args.repeats)

@@ -86,10 +86,16 @@ def irreducible(p: int) -> bool:
 @lru_cache(maxsize=16)
 def window_tables32(pol: int, window: int = WINDOW_SIZE) -> np.ndarray:
     """Low 32 bits of window_tables — the cut test (digest & splitmask == 0,
-    avg_bits <= 32) only needs the low bits, and uint32 accumulators halve
+    avg_bits <= 32) only needs the low bits, and narrow accumulators cut
     the cache traffic of the hot scan loop (matters when many executor
     threads share L3)."""
     return window_tables(pol, window).astype(np.uint32)
+
+
+@lru_cache(maxsize=16)
+def window_tables16(pol: int, window: int = WINDOW_SIZE) -> np.ndarray:
+    """Low 16 bits — enough for the cut test when avg_bits <= 16."""
+    return window_tables(pol, window).astype(np.uint16)
 
 
 @lru_cache(maxsize=16)

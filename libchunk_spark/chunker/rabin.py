@@ -30,6 +30,7 @@ from .gf2 import (
     WINDOW_SIZE,
     partial_digest,
     window_tables,
+    window_tables16,
     window_tables32,
 )
 
@@ -100,9 +101,18 @@ def rolling_digests(data: np.ndarray, cfg: ChunkerConfig) -> np.ndarray:
     return out
 
 
-_SCAN_BLOCK = 1 << 14  # positions per block: 64 KiB uint32 accumulators, L2-resident
+_SCAN_BLOCK = 1 << 14  # positions per block: narrow accumulators, L2-resident
 # (sized for MANY concurrent executor threads sharing L3 — larger blocks are
 # marginally faster solo but collapse under 32-way cache contention)
+
+
+def _scan_tables(cfg: ChunkerConfig) -> tuple[np.ndarray, np.dtype]:
+    """Narrowest tables that still contain the splitmask bits."""
+    if cfg.avg_bits <= 16:
+        return window_tables16(cfg.pol, cfg.window), np.uint16
+    if cfg.avg_bits <= 32:
+        return window_tables32(cfg.pol, cfg.window), np.uint32
+    return window_tables(cfg.pol, cfg.window), np.uint64
 
 
 def _first_candidate(
@@ -122,18 +132,25 @@ def _first_candidate(
     or (-1, 0). Positions before
     ``lo`` (the min_size pre-skip, chunker.go:140) are never evaluated.
     """
-    t = window_tables32(cfg.pol, cfg.window)
+    t, dt = _scan_tables(cfg)
     w = cfg.window
-    mask = np.uint32(cfg.splitmask)
+    mask = t.dtype.type(cfg.splitmask)
+    block = acc.shape[0]
+    # np.take converts non-intp index arrays on EVERY call; one up-front
+    # uint8->intp copy per block replaces 64 hidden conversions (+30% solo,
+    # and much less allocator/cache churn under many-core contention)
+    idxbuf = np.empty(block + w - 1, dtype=np.intp)
     p = lo
     while p <= limit:
-        m = min(acc.shape[0], limit - p + 1)
+        m = min(block, limit - p + 1)
         a = acc[:m]
         tm = tmp[:m]
         base = p - (w - 1)  # window start for position p
-        np.take(t[0], data[base : base + m], out=a, mode="clip")
+        ib = idxbuf[: m + w - 1]
+        np.copyto(ib, data[base : base + m + w - 1])
+        np.take(t[0], ib[:m], out=a, mode="clip")
         for j in range(1, w):
-            np.take(t[j], data[base + j : base + j + m], out=tm, mode="clip")
+            np.take(t[j], ib[j : j + m], out=tm, mode="clip")
             a ^= tm
         hits = np.nonzero((a & mask) == 0)[0]
         if hits.size:
@@ -164,24 +181,27 @@ def _scan_all(arr: np.ndarray, cfg: ChunkerConfig) -> np.ndarray:
     windows yield garbage digests at positions the per-row candidate ranges
     never consult).
     """
-    t = window_tables32(cfg.pol, cfg.window)
+    t, dt = _scan_tables(cfg)
     n = arr.shape[0]
     w = cfg.window
-    mask = np.uint32(cfg.splitmask)
+    mask = t.dtype.type(cfg.splitmask)
     if n < w:
         return np.empty(0, dtype=np.int64)
     total = n - w + 1
     block = min(_SCAN_BLOCK, total)
-    acc = np.empty(block, dtype=np.uint32)
-    tmp = np.empty(block, dtype=np.uint32)
+    acc = np.empty(block, dtype=dt)
+    tmp = np.empty(block, dtype=dt)
+    idxbuf = np.empty(block + w - 1, dtype=np.intp)  # see _first_candidate
     pos_parts: list[np.ndarray] = []
     for p0 in range(0, total, block):
         m = min(block, total - p0)
         a = acc[:m]
         tm = tmp[:m]
-        np.take(t[0], arr[p0 : p0 + m], out=a, mode="clip")
+        ib = idxbuf[: m + w - 1]
+        np.copyto(ib, arr[p0 : p0 + m + w - 1])
+        np.take(t[0], ib[:m], out=a, mode="clip")
         for j in range(1, w):
-            np.take(t[j], arr[p0 + j : p0 + j + m], out=tm, mode="clip")
+            np.take(t[j], ib[j : j + m], out=tm, mode="clip")
             a ^= tm
         hits = np.nonzero((a & mask) == 0)[0]
         if hits.size:
@@ -252,8 +272,9 @@ def chunk_bytes(data: bytes, cfg: ChunkerConfig) -> list[Chunk]:
     arr = np.frombuffer(data, dtype=np.uint8)
     w = cfg.window
     block = min(_SCAN_BLOCK, n)
-    acc = np.empty(block, dtype=np.uint32)
-    tmp = np.empty(block, dtype=np.uint32)
+    _, dt = _scan_tables(cfg)
+    acc = np.empty(block, dtype=dt)
+    tmp = np.empty(block, dtype=dt)
     chunks: list[Chunk] = []
     s = 0
     while s < n:

@@ -73,17 +73,31 @@ def connected_components(
 
     all_nodes: optional (file_id) DataFrame — nodes with no edges become
     singleton components. Raises if not converged in max_iterations.
+
+    The loop runs ~5 shuffle stages per round, so per-stage overhead
+    dominates on small edge sets: shuffle parallelism is auto-tuned to the
+    live edge count (~500k edges per partition, floor 8) and restored after.
     """
+    spark = edges.sparkSession
     cur = _canonical(edges).localCheckpoint()
     prev_sig = None
-    for _ in range(max_iterations):
-        cur = _canonical(_small_star(_large_star(cur))).localCheckpoint()
-        sig = _signature(cur)
-        if sig == prev_sig:
-            break
-        prev_sig = sig
-    else:
-        raise RuntimeError(f"connected components: no fixpoint in {max_iterations} rounds")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        n0, _ = _signature(cur)
+        tuned = max(8, min(int(old_parts), n0 // 500_000 + 1))
+        spark.conf.set("spark.sql.shuffle.partitions", str(tuned))
+        for _ in range(max_iterations):
+            cur = _canonical(_small_star(_large_star(cur))).localCheckpoint()
+            sig = _signature(cur)
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+        else:
+            raise RuntimeError(
+                f"connected components: no fixpoint in {max_iterations} rounds"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
     # at fixpoint the edge set is a star forest rooted at each component min
     assign = cur.select(F.col("b").alias("file_id"), F.col("a").alias("component"))

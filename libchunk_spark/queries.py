@@ -583,6 +583,38 @@ def q_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (words / numbers / punctuation runs).
+
+    Same RE2-compatible pattern on both engines (kept free of Java/RE2
+    dialect divergence: no lookarounds, no \\w classes).
+    """
+    pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+SQL_REGEX_TOKENS = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate cosine pairs (similarity-search scale path;
+    not SQL-expressible — seeded k-means training — rows-only check)."""
+    from libchunk_spark.operators.similarity import ivf_pairs
+
+    return ivf_pairs(_emb(spark, sf_dir), COSINE_THRESHOLD, n_cells=8)
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -599,6 +631,8 @@ QUERIES = {
     "components": (q_components, SQL_COMPONENTS),
     "cosine_pairs": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_signlsh": (q_ann_signlsh, SQL_ANN_SIGNLSH),
+    "regex_tokens": (q_regex_tokens, SQL_REGEX_TOKENS),
+    "ann_ivf": (q_ann_ivf, None),  # seeded k-means: not SQL-expressible
     "chunk_stats": (q_chunk_stats, None),  # chunker: not SQL-expressible
     "dedup_ratio": (q_dedup_ratio, None),  # chunker: not SQL-expressible
 }

@@ -1,0 +1,110 @@
+"""Key-list text codec round trip + StoreMap routing + plan-quality checks."""
+
+from __future__ import annotations
+
+import base64
+
+import pytest
+from pyspark.sql import functions as F
+
+from libchunk_spark.config import CORPUS_PIPELINE_CONFIG as CFG
+from libchunk_spark.fixtures import corpus_to_spark, generate_corpus
+from libchunk_spark.operators.assemble import assemble, assert_round_trip
+from libchunk_spark.operators.keylists import (
+    b64url_decode,
+    b64url_encode,
+    read_keylist,
+    write_keylist,
+)
+from libchunk_spark.operators.move import move
+from libchunk_spark.operators.split import split
+from libchunk_spark.stores import LOCAL, REMOTE, NoSuchStoreError, StoreMap
+
+
+def test_b64url_matches_go_rawurlencoding(spark):
+    """Codec must equal Go's base64.RawURLEncoding (bits/bits.go:74-76)."""
+    payloads = [bytes([0xFB, 0xEF, 0xBE]) * 11, b"\x00" * 32, bytes(range(32))]
+    df = spark.createDataFrame([(p,) for p in payloads], "b binary")
+    got = [r["e"] for r in df.select(b64url_encode(F.col("b")).alias("e")).collect()]
+    want = [base64.urlsafe_b64encode(p).rstrip(b"=").decode() for p in payloads]
+    assert got == want
+    back = [
+        bytes(r["d"])
+        for r in df.select(b64url_decode(b64url_encode(F.col("b"))).alias("d")).collect()
+    ]
+    assert back == payloads
+
+
+def test_keylist_file_round_trip(spark, tmp_path):
+    corpus = corpus_to_spark(spark, generate_corpus(30, seed=21))
+    res = split(corpus, CFG.chunk)
+    path = str(tmp_path / "keys.txt")
+    write_keylist(res.file_keys, path)
+    back = read_keylist(spark, path)
+    assert back.where(~F.col("valid")).count() == 0
+    exported = {r["k"] for r in back.collect()}
+    original = {
+        r["k"]
+        for r in res.file_keys.select(F.explode("keys").alias("k")).collect()
+    }
+    assert exported == original
+
+
+def test_storemap_routing(spark, tmp_path):
+    corpus = corpus_to_spark(spark, generate_corpus(20, seed=22))
+    res = split(corpus, CFG.chunk)
+    local_p = str(tmp_path / "local")
+    remote_p = str(tmp_path / "remote")
+    res.chunk_index.write.parquet(local_p)
+    res.chunk_index.limit(5).write.parquet(remote_p)
+    sm = StoreMap().add(LOCAL, local_p).add(REMOTE, remote_p)
+    assert sm.put_dst() == local_p
+    assert sm.move_dst() == remote_p
+    srcs = sm.get_srcs(spark)
+    assert len(srcs) == 2
+    # full get through the store map: local first, remote fallback
+    result = assemble(res.file_keys, srcs[0], remote_index=srcs[1])
+    assert_round_trip(result)
+    with pytest.raises(NoSuchStoreError):
+        StoreMap().add(REMOTE, remote_p).put_dst()
+
+
+def test_move_plan_broadcasts_index(spark, tmp_path):
+    """The anti-join against the remote key index must broadcast (the
+    reference prefetches the index into memory, move.go:53-65)."""
+    corpus = corpus_to_spark(spark, generate_corpus(20, seed=23))
+    res = split(corpus, CFG.chunk)
+    mv = move(res.chunk_index, res.chunk_index.sample(0.3, seed=1).select("k"))
+    plan = mv.pushed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_documents_scan_prunes_columns(spark):
+    """Queries that only need doc_id+text must not read other columns."""
+    from libchunk_spark.queries import q_token_stats
+
+    df = q_token_stats(spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_line = [l for l in plan.splitlines() if "FileScan" in l or "Scan parquet" in l]
+    assert scan_line, plan
+    s = " ".join(scan_line)
+    assert "doc_id" in s and "text" in s
+    assert "source" not in s  # unused column pruned from the parquet scan
+
+
+def test_lsh_path_has_no_python_udf(spark):
+    """Candidate generation after sign() must stay JVM-side (no Python in
+    the shuffle-heavy path)."""
+    from libchunk_spark.operators.lsh import minhash_candidate_edges
+
+    sigs = spark.createDataFrame(
+        [(1, [1, 2], 3, [7, 8], 2), (2, [1, 2], 3, [7, 9], 2)],
+        "file_id long, minhash array<long>, simhash long, bands array<long>, n_shingles int",
+    )
+    plan = (
+        minhash_candidate_edges(sigs, CFG)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

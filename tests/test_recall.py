@@ -130,3 +130,29 @@ def test_star_edges_preserve_connectivity(spark):
     c1 = connected_components(star, all_nodes=corpus.select("file_id"))
     c2 = connected_components(allp, all_nodes=corpus.select("file_id"))
     assert c1.exceptAll(c2).count() == 0 and c2.exceptAll(c1).count() == 0
+
+
+def test_fused_chunk_and_sign_equals_separate_stages(spark):
+    """Single-pass fused operator must reproduce split() and sign() exactly."""
+    from libchunk_spark.operators.fused import (
+        chunk_and_sign,
+        fused_chunks,
+        fused_signatures,
+    )
+
+    rows = generate_corpus(n_files=40, seed=13)
+    corpus = corpus_to_spark(spark, rows).cache()
+    fused = chunk_and_sign(corpus, CFG).cache()
+    got_chunks = sorted(
+        tuple(r) for r in fused_chunks(fused).collect()
+    )
+    want_chunks = sorted(
+        tuple(r)
+        for r in split(corpus, CFG.chunk, keep_payload=False).chunks.collect()
+    )
+    assert got_chunks == want_chunks
+    got_sigs = {r["file_id"]: (r["minhash"], r["simhash"], r["bands"], r["n_shingles"])
+                for r in fused_signatures(fused).collect()}
+    want_sigs = {r["file_id"]: (r["minhash"], r["simhash"], r["bands"], r["n_shingles"])
+                 for r in sign(corpus, CFG).collect()}
+    assert got_sigs == want_sigs
