@@ -48,7 +48,8 @@ def main() -> None:
         [(i, "warm up text " * 20) for i in range(cpus * 8)],
         "file_id long, content string",
     ).repartition(cpus)
-    sign(warm, CCFG).count()
+    sign(warm, CCFG).agg(F.sum("n_shingles")).collect()  # agg: a bare count
+    # would let Catalyst prune the UDF and warm nothing
     split(warm, CCFG.chunk, keep_payload=False).chunks.count()
     spark.range(1000).select(F.sha2(F.col("id").cast("string"), 256)).count()
 
@@ -89,7 +90,9 @@ def main() -> None:
     t0 = time.time()
     sigs = sign(corpus, CCFG)
     sp = split(corpus, CCFG.chunk, keep_payload=False)
-    n_sigs = sigs.count()
+    # force the sign UDF through an aggregate over its outputs (count() would
+    # prune it); chunk_index.count() genuinely needs the chunk UDF's k column
+    sigs.agg(F.sum("n_shingles"), F.expr("bit_xor(simhash)")).collect()
     n_keys = sp.chunk_index.count()
     chunk_sign_sec = time.time() - t0
     timings["pipeline_chunk_sign"] = round(chunk_sign_sec, 3)
@@ -120,6 +123,13 @@ def main() -> None:
         "n_clusters": n_clusters,
         "corpus_gen_sec": round(gen_sec, 3),
     }
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            s = json.load(f)
+        out["scaling_efficiency_chunk_sign"] = s["efficiency_chunk_sign"]
+        out["scaling_efficiency_total"] = s["efficiency_total"]
     print(json.dumps(out))
     spark.stop()
 

@@ -197,6 +197,18 @@ Reproduce: `python jobs/scaling_bench.py --files {n_files} --n {n}`
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(
+            {
+                "n": n,
+                "files": n_files,
+                "efficiency_total": round(eff, 3),
+                "efficiency_chunk_sign": round(eff_cs, 3),
+                "levels": results,
+            },
+            f,
+            indent=1,
+        )
     print(f"efficiency={eff:.3f} (chunk_sign={eff_cs:.3f}) -> BENCH/BASELINE.md")
 
 

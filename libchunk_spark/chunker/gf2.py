@@ -132,3 +132,16 @@ def partial_digest(pol: int, hashed: bytes, window: int = WINDOW_SIZE) -> int:
     for i, c in enumerate(hashed, start=1):
         acc ^= c << (8 * (k - i))
     return pmod(acc, pol)
+
+
+def random_polynomial(seed: int, degree: int = 53) -> int:
+    """Random irreducible polynomial of the given degree (GenerateSecret
+    analog: bits/secret.go:63-82 + polynomials.go:183-219 use a random
+    degree-53 irreducible poly as the chunking scope). Deterministic from
+    seed; rejection-samples with the Ben-Or test."""
+    rng = __import__("numpy").random.default_rng(seed)
+    while True:
+        bits = int(rng.integers(0, 1 << (degree - 1), dtype=np.uint64))
+        p = (1 << degree) | bits | 1  # monic, constant term set
+        if irreducible(p):
+            return p

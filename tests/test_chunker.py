@@ -182,3 +182,20 @@ def test_large_input_forced_cuts_only():
     for c in chunks[:-1]:
         assert c.length == 128
     assert chunk_bytes(data, cfg) == slow_chunks(data, cfg)
+
+
+def test_random_polynomial_generation():
+    """GenerateSecret analog: seeded random irreducible degree-53 polys."""
+    p1 = gf2.random_polynomial(1)
+    p2 = gf2.random_polynomial(2)
+    assert p1 != p2
+    for p in (p1, p2):
+        assert gf2.deg(p) == 53
+        assert gf2.irreducible(p)
+    assert gf2.random_polynomial(1) == p1  # deterministic
+    # a fresh polynomial drives the chunker end-to-end
+    cfg = ChunkerConfig(pol=p1, min_size=64, max_size=256, avg_bits=5)
+    data = bytes(range(256)) * 8
+    chunks = chunk_bytes(data, cfg)
+    assert sum(c.length for c in chunks) == len(data)
+    assert chunk_bytes(data, cfg) == slow_chunks(data, cfg)
