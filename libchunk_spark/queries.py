@@ -615,6 +615,31 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pairs(_emb(spark, sf_dir), COSINE_THRESHOLD, n_cells=8)
 
 
+
+
+def q_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup decision table: LSH components + representative
+    election (longest content, min doc_id tiebreak) -> keep/drop per doc."""
+    from libchunk_spark.operators.dedup import dedup_verdicts
+
+    comp = q_components(spark, sf_dir).select(
+        F.col("doc_id").alias("file_id"), "component"
+    )
+    corpus = _docs_corpus(spark, sf_dir)
+    return dedup_verdicts(comp, corpus, policy="longest").select(
+        F.col("file_id").alias("doc_id"), "component", "keep"
+    )
+
+
+SQL_DEDUP_VERDICTS = f"""
+WITH comp AS ({SQL_COMPONENTS})
+SELECT d.doc_id, c.component,
+       (row_number() OVER (PARTITION BY c.component
+                           ORDER BY length(d.text) DESC, d.doc_id ASC)) = 1 AS keep
+FROM documents d JOIN comp c ON c.doc_id = d.doc_id
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -629,6 +654,7 @@ QUERIES = {
     "lsh_band_pairs": (q_lsh_band_pairs, SQL_LSH_BAND_PAIRS),
     "simhash32": (q_simhash32, SQL_SIMHASH32),
     "components": (q_components, SQL_COMPONENTS),
+    "dedup_verdicts": (q_dedup_verdicts, SQL_DEDUP_VERDICTS),
     "cosine_pairs": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_signlsh": (q_ann_signlsh, SQL_ANN_SIGNLSH),
     "regex_tokens": (q_regex_tokens, SQL_REGEX_TOKENS),
