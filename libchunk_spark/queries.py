@@ -55,7 +55,6 @@ LANG_MARKERS = {
 
 NGRAM_JACCARD_THRESHOLD = 0.2
 COSINE_THRESHOLD = 0.3  # ~99th pct of the driver embeddings' pair sims
-TOPK_NEIGHBORS = 5
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

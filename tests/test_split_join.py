@@ -130,3 +130,23 @@ def test_empty_content_file_round_trips(spark):
     assert res.file_keys.count() == 2
     assert res.file_keys.where("file_id = 2").first()["n_chunks"] == 0
     assert_round_trip(assemble(res.file_keys, res.chunk_index))
+
+
+def test_reference_scale_round_trip(spark):
+    """Real reference constants (512KiB/8MiB/20 bits) on multi-MB files:
+    the production-sized path through Spark, not just the kernel."""
+    import numpy as np
+
+    from libchunk_spark.chunker.rabin import ChunkerConfig
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for i in range(6):
+        size = int(rng.integers(1 << 20, 9 << 20))  # 1-9 MiB
+        body = rng.integers(32, 127, size, dtype=np.uint8)
+        rows.append((i, body.tobytes().decode("ascii")))
+    big = spark.createDataFrame(rows, "file_id long, content string").repartition(6)
+    res = split(big, ChunkerConfig(), keep_payload=True)
+    fk = res.file_keys.collect()
+    assert any(r["n_chunks"] >= 2 for r in fk)  # >8MiB files must split
+    assert_round_trip(assemble(res.file_keys, res.chunk_index))
