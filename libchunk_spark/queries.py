@@ -639,6 +639,103 @@ FROM documents d JOIN comp c ON c.doc_id = d.doc_id
 """
 
 
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_event_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation over the event stream table
+    (the batch oracle for the Structured Streaming windowed-agg test)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.floor(F.unix_timestamp("ts") / 3600).alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+SQL_EVENT_WINDOW_STATS = """
+SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_event_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-event detection: identical (user_id, event_type, props)
+    payloads (exact dedup over a non-text modality)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id", "event_type", "props")
+        .agg(F.count("*").alias("n"), F.min("event_id").alias("first_event"))
+        .where(F.col("n") > 1)
+    )
+
+
+SQL_EVENT_DUPS = """
+SELECT user_id, event_type, props, count(*) AS n, min(event_id) AS first_event
+FROM events GROUP BY 1, 2, 3 HAVING count(*) > 1
+"""
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-ization: per-user sessions split at >30 min gaps (lag +
+    running sum window functions — SURVEY.md §2 Part B window coverage)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = _events(spark, sf_dir).withColumn(
+        "new_session",
+        F.when(
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+            > 1800,
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    )
+    sessions = flagged.withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
+SQL_EVENT_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, count(*) AS n_events, min(event_id) AS first_event
+FROM sessions GROUP BY 1, 2
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -654,6 +751,9 @@ QUERIES = {
     "simhash32": (q_simhash32, SQL_SIMHASH32),
     "components": (q_components, SQL_COMPONENTS),
     "dedup_verdicts": (q_dedup_verdicts, SQL_DEDUP_VERDICTS),
+    "event_window_stats": (q_event_window_stats, SQL_EVENT_WINDOW_STATS),
+    "event_dups": (q_event_dups, SQL_EVENT_DUPS),
+    "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
     "cosine_pairs": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_signlsh": (q_ann_signlsh, SQL_ANN_SIGNLSH),
     "regex_tokens": (q_regex_tokens, SQL_REGEX_TOKENS),

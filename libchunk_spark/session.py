@@ -39,6 +39,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # deterministic epoch math for timestamp columns (oracle parity)
+        .config("spark.sql.session.timeZone", "UTC")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

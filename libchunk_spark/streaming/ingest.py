@@ -69,3 +69,48 @@ def start_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def windowed_event_stats_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_path: str,
+    watermark: str = "2 hours",
+):
+    """Structured Streaming windowed aggregation over the events table:
+    1-hour tumbling windows with a watermark for late data, complete on
+    availableNow. Batch-equivalent: queries.q_event_window_stats — the
+    streaming result must match it exactly once the stream drains
+    (verified in tests)."""
+    events = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .parquet(source_dir)
+    )
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            (F.unix_timestamp("w.start") / 3600).cast("long").alias("hour_bucket"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "approx_users",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_path)
+        .start()
+    )

@@ -102,3 +102,37 @@ def test_real_codec_raises_not_implemented(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|FAKE|stub"):
         extract_features(df).collect()
+
+
+def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
+    """Structured Streaming tumbling-window agg (watermark + availableNow)
+    must equal the batch q_event_window_stats on the same data."""
+    import shutil
+
+    from libchunk_spark.queries import q_event_window_stats
+    from libchunk_spark.streaming.ingest import windowed_event_stats_stream
+
+    sf = "/root/testdata/sf0.01"
+    src = str(tmp_path / "events_src")
+    os.makedirs(src)
+    shutil.copy(f"{sf}/events.parquet", f"{src}/events.parquet")
+    out = str(tmp_path / "out")
+    q = windowed_event_stats_stream(spark, src, str(tmp_path / "ck"), out)
+    q.awaitTermination(180)
+    got = {
+        (r["hour_bucket"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["hour_bucket"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in q_event_window_stats(spark, sf).collect()
+    }
+    # append mode only emits windows the watermark has closed: the final
+    # windows (within watermark horizon of max event time) are withheld
+    max_bucket = max(b for b, _ in want)
+    for k, v in got.items():
+        assert want[k] == v  # every emitted window matches the batch truth
+    missing = set(want) - set(got)
+    assert all(b >= max_bucket - 3 for b, _ in missing), missing
+    closed = {k: v for k, v in want.items() if k[0] < max_bucket - 3}
+    assert set(closed) <= set(got)
