@@ -1,7 +1,5 @@
 from libchunk_spark.chunker.gf2 import DEFAULT_POL, window_tables
 from libchunk_spark.chunker.rabin import (
-    CORPUS_CONFIG,
-    SMALL_DOC_CONFIG,
     Chunk,
     ChunkerConfig,
     chunk_batch,
@@ -15,6 +13,4 @@ __all__ = [
     "ChunkerConfig",
     "chunk_bytes",
     "chunk_batch",
-    "CORPUS_CONFIG",
-    "SMALL_DOC_CONFIG",
 ]

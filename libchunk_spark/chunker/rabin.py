@@ -63,15 +63,6 @@ class ChunkerConfig:
         return (1 << self.avg_bits) - 1
 
 
-# Config used against the small driver `documents` rows (~300 chars) so that
-# multi-chunk files exist at test scale; semantics identical to the reference,
-# only min/max/avg scaled down.
-SMALL_DOC_CONFIG = ChunkerConfig(min_size=64, max_size=256, avg_bits=5)
-
-# Config for the synthetic corpus (0.5–64 KiB source files).
-CORPUS_CONFIG = ChunkerConfig(min_size=256, max_size=4096, avg_bits=9)
-
-
 @dataclass(frozen=True)
 class Chunk:
     """One content-defined chunk: mirrors reference Chunk (chunker.go:46-51)."""

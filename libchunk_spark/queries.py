@@ -736,6 +736,68 @@ FROM sessions GROUP BY 1, 2
 """
 
 
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (grouped aggregates with derived
+    measures) over lineitem — classic relational agg coverage."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY 1, 2
+"""
+
+
+def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + aggregation (customer ⋈ orders ⋈ lineitem): revenue by
+    market segment — broadcast/sort-merge join coverage."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+SQL_SEGMENT_REVENUE = """
+SELECT c_mktsegment,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -754,6 +816,8 @@ QUERIES = {
     "event_window_stats": (q_event_window_stats, SQL_EVENT_WINDOW_STATS),
     "event_dups": (q_event_dups, SQL_EVENT_DUPS),
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
     "cosine_pairs": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_signlsh": (q_ann_signlsh, SQL_ANN_SIGNLSH),
     "regex_tokens": (q_regex_tokens, SQL_REGEX_TOKENS),
