@@ -78,8 +78,9 @@ def rolling_digests(data: np.ndarray, cfg: ChunkerConfig) -> np.ndarray:
     Returns D of length ``n - window + 1`` where ``D[i]`` is the Rabin
     fingerprint of ``data[i : i + window]`` — equal to the reference's
     running digest when at least ``window`` bytes of the current chunk have
-    been hashed. O(n * window) memory traffic — use scan_candidates for
-    large payloads (blocked, candidate-only).
+    been hashed. O(n) memory — prefer the blocked candidate scans
+    (_scan_all / _first_candidate) for large payloads; kept as the simple
+    reference formulation and for downstream position-level analyses.
     """
     t = window_tables(cfg.pol, cfg.window)
     n = data.shape[0]
@@ -156,10 +157,21 @@ def digest_at(data: np.ndarray, q: int, cfg: ChunkerConfig) -> int:
     """Windowed digest at one absolute position q (window's last byte)."""
     t = window_tables(cfg.pol, cfg.window)
     w = cfg.window
-    acc = np.uint64(0)
-    for j in range(w):
-        acc ^= t[j][data[q - w + 1 + j]]
-    return int(acc)
+    win = data[q - w + 1 : q + 1].astype(np.intp)
+    return int(np.bitwise_xor.reduce(t[np.arange(w), win]))
+
+
+def digests_at(data: np.ndarray, qs: np.ndarray, cfg: ChunkerConfig) -> np.ndarray:
+    """Windowed digests at many positions in one vectorized pass: gathers
+    the (k, window) byte matrix and folds the 64 table lookups across all
+    positions at once — O(window) NumPy calls per row, not per cut."""
+    t = window_tables(cfg.pol, cfg.window)
+    w = cfg.window
+    wins = data[qs[:, None] + np.arange(-(w - 1), 1)[None, :]]
+    acc = t[0][wins[:, 0]].copy()
+    for j in range(1, w):
+        acc ^= t[j][wins[:, j]]
+    return acc
 
 
 def _scan_all(arr: np.ndarray, cfg: ChunkerConfig) -> np.ndarray:
@@ -218,34 +230,51 @@ def _cut_scan(
     state machine using only the sparse candidate list.
     """
     w = cfg.window
-    chunks: list[Chunk] = []
+    # phase 1 — cut positions via a monotonic pointer walk (cut starts only
+    # move forward, so one linear pass beats per-chunk binary searches)
+    cands = cand_pos.tolist()
+    ncand = len(cands)
+    ci = 0
     s = 0
+    cuts: list[tuple[int, int, int]] = []  # (start, length, fp_pos or -1)
+    eof_fp: int | None = None
     while s < n:
         lo = s + cfg.min_size - 1  # first position where add >= min_size
         hi = s + cfg.max_size - 1  # forced-cut position (add == max_size)
         limit = min(hi, n - 1)
-        q = -1
-        if lo <= limit and cand_pos.size:
-            i = int(np.searchsorted(cand_pos, lo))
-            if i < cand_pos.size and cand_pos[i] <= limit:
-                q = int(cand_pos[i])
+        while ci < ncand and cands[ci] < lo:
+            ci += 1
+        q = cands[ci] if (lo <= limit and ci < ncand and cands[ci] <= limit) else -1
         if q >= 0:
-            chunks.append(Chunk(s, q - s + 1, digest_at(arr, q, cfg)))
+            cuts.append((s, q - s + 1, q))
             s = q + 1
         elif hi <= n - 1:  # force cut at max_size (chunker.go:295)
-            chunks.append(Chunk(s, hi - s + 1, digest_at(arr, hi, cfg)))
+            cuts.append((s, hi - s + 1, hi))
             s = hi + 1
         else:  # EOF partial chunk (chunker.go:227-239)
             pre = cfg.min_size - w
             hashed = (n - s) - pre
             if hashed >= w:
-                fp = digest_at(arr, n - 1, cfg)
-            elif hashed <= 0:
-                fp = 1  # digest right after reset = slide(0, 1)
+                cuts.append((s, n - s, n - 1))
             else:
-                fp = partial_digest(cfg.pol, data[s + pre : n], w)
-            chunks.append(Chunk(s, n - s, fp))
+                eof_fp = (
+                    1  # digest right after reset = slide(0, 1)
+                    if hashed <= 0
+                    else partial_digest(cfg.pol, data[s + pre : n], w)
+                )
+                cuts.append((s, n - s, -1))
             s = n
+    # phase 2 — all full-window fingerprints in one vectorized pass
+    qs = np.array([c[2] for c in cuts if c[2] >= 0], dtype=np.int64)
+    fps = digests_at(arr, qs, cfg) if qs.size else np.empty(0, dtype=np.uint64)
+    chunks: list[Chunk] = []
+    fi = 0
+    for cs, ln, qpos in cuts:
+        if qpos >= 0:
+            chunks.append(Chunk(cs, ln, int(fps[fi])))
+            fi += 1
+        else:
+            chunks.append(Chunk(cs, ln, eof_fp))
     return chunks
 
 
