@@ -91,13 +91,21 @@ def simhash_candidate_edges(
     signatures: DataFrame,
     cfg: PipelineConfig,
     radius: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Fuzzy-dup edges from SimHash multi-index blocks + hamming filter.
 
     64-bit simhash split into `simhash_blocks` equal blocks; files equal in
     >=1 block are candidates (pigeonhole: hamming <= blocks-1 is guaranteed
     found); candidates are verified with bit_count(a^b) <= radius JVM-side.
-    Oversized blocks are capped like the minhash allpairs path.
+
+    Oversized blocks (sz > bucket_pair_cap) degrade to connectivity-preserving
+    star edges around the block's min file_id — the same policy as the minhash
+    `_allpairs_with_cap` path — still subject to the hamming-radius verify.
+    A block of 10k near-identical simhashes thus yields 10k-1 edges instead of
+    ~5e7 (or, before this fix, zero). Pass a ``pyspark.sql.Observation`` as
+    `observation` to count degraded rows (`oversized_rows` /
+    `oversized_blocks` metrics recorded when the returned plan executes).
     """
     sig = cfg.signature
     radius = sig.simhash_blocks - 1 if radius is None else radius
@@ -120,8 +128,20 @@ def simhash_candidate_edges(
         ["block", "block_val"],
     )
     small = sized.where(F.col("sz") <= cfg.bucket_pair_cap)
+    big = sized.where(F.col("sz") > cfg.bucket_pair_cap)
+    if observation is not None:
+        big = big.observe(
+            observation,
+            F.count(F.lit(1)).alias("oversized_rows"),
+            # DISTINCT aggregates are not allowed in observed metrics;
+            # approx_count_distinct (HLL sketch) is, and a ±2% block count
+            # is plenty for a degradation signal.
+            F.approx_count_distinct(
+                F.concat_ws(":", "block", "block_val")
+            ).alias("oversized_blocks"),
+        )
     l, r = small.alias("l"), small.alias("r")
-    cand = (
+    pair_cand = (
         l.join(r, ["block", "block_val"])
         .where(F.col("l.file_id") < F.col("r.file_id"))
         .select(
@@ -130,8 +150,23 @@ def simhash_candidate_edges(
             F.col("l.simhash").alias("sa"),
             F.col("r.simhash").alias("sb"),
         )
-        .dropDuplicates(["a", "b"])
     )
+    # star fallback: min(struct(file_id, simhash)) carries the rep's simhash
+    # through the same partial-agg-friendly groupBy (no second join pass).
+    big_reps = big.groupBy("block", "block_val").agg(
+        F.min(F.struct("file_id", "simhash")).alias("rep")
+    )
+    star_cand = (
+        big.join(big_reps, ["block", "block_val"])
+        .where(F.col("file_id") != F.col("rep.file_id"))
+        .select(
+            F.col("rep.file_id").alias("a"),
+            F.col("file_id").alias("b"),
+            F.col("rep.simhash").alias("sa"),
+            F.col("simhash").alias("sb"),
+        )
+    )
+    cand = pair_cand.unionByName(star_cand).dropDuplicates(["a", "b"])
     return cand.where(
         F.bit_count(F.expr("sa ^ sb")) <= F.lit(radius)
     ).select("a", "b")

@@ -424,9 +424,13 @@ bits AS (
   GROUP BY doc_id, b
 )
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash32
+       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash32
 FROM bits GROUP BY doc_id
 """
+# NOTE: DuckDB integer sum() returns HUGEINT (int128); pandas renders HUGEINT
+# as float so the driver's value hash diverges from Spark's LongType even when
+# values are identical. Every integer sum() in an oracle MUST be cast BIGINT.
+
 
 
 def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -727,8 +731,8 @@ WITH flagged AS (
 ),
 sessions AS (
   SELECT user_id, event_id,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                ROWS UNBOUNDED PRECEDING) AS session_idx
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
   FROM flagged
 )
 SELECT user_id, session_idx, count(*) AS n_events, min(event_id) AS first_event

@@ -132,6 +132,43 @@ def test_star_edges_preserve_connectivity(spark):
     assert c1.exceptAll(c2).count() == 0 and c2.exceptAll(c1).count() == 0
 
 
+def test_simhash_oversized_block_star_fallback(spark):
+    """A block larger than bucket_pair_cap must degrade to star edges, not
+    silently drop (round-1 bug: `sized.where(sz <= cap)` discarded it all).
+
+    200 identical simhashes in one block with cap=16 → >= 199 star edges,
+    one component, and the Observation records the degradation."""
+    import dataclasses
+
+    from pyspark.sql import Observation
+
+    cfg = dataclasses.replace(CFG, bucket_pair_cap=16)
+    n = 200
+    sig_val = 0x0123456789ABCDEF
+    sigs = spark.createDataFrame(
+        [(i, sig_val) for i in range(n)], "file_id long, simhash long"
+    )
+    obs = Observation("simhash_lsh")
+    edges = simhash_candidate_edges(sigs, cfg, observation=obs).cache()
+    n_edges = edges.count()
+    assert n_edges >= n - 1, f"only {n_edges} edges from an oversized block"
+    comp = connected_components(edges)
+    assert comp.select("component").distinct().count() == 1
+    assert comp.count() == n
+    assert obs.get["oversized_blocks"] >= 1
+    assert obs.get["oversized_rows"] >= n
+    # hamming verify still applies on star edges: a far-off member sharing
+    # one block must be filtered out.
+    far = sig_val ^ 0xFFFFFFFFFFFF0000  # same low block, 48 bits flipped
+    far = far - (1 << 64) if far >= (1 << 63) else far  # signed int64 wrap
+    sigs2 = spark.createDataFrame(
+        [(i, sig_val) for i in range(n)] + [(n, far)],
+        "file_id long, simhash long",
+    )
+    edges2 = simhash_candidate_edges(sigs2, cfg)
+    assert edges2.where((F.col("a") == n) | (F.col("b") == n)).count() == 0
+
+
 def test_fused_chunk_and_sign_equals_separate_stages(spark):
     """Single-pass fused operator must reproduce split() and sign() exactly."""
     from libchunk_spark.operators.fused import (
