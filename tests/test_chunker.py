@@ -101,6 +101,61 @@ def test_null_byte_golden_fixture():
         assert hashlib.sha256(payload).hexdigest() == expected_sha
 
 
+# chunker_test.go:37-61 — 23 chunks of 32 MiB seeded Go math/rand data,
+# pol 0x3DA3358B4DC173, window 64, avg 1<<20, min 1<<19, max 1<<23.
+GOLDEN_32MIB = [
+    (2163460, 0x000B98D4CDF00000, "4b94cb2cf293855ea43bf766731c74969b91aa6bf3c078719aabdd19860d590d"),
+    (643703, 0x000D4E8364D00000, "5727a63c0964f365ab8ed2ccf604912f2ea7be29759a2b53ede4d6841e397407"),
+    (1528956, 0x0015A25C2EF00000, "a73759636a1e7a2758767791c69e81b69fb49236c6929e5d1b654e06e37674ba"),
+    (1955808, 0x00102A8242E00000, "c955fb059409b25f07e5ae09defbbc2aadf117c97a3724e06ad4abd2787e6824"),
+    (2222372, 0x00045DA878000000, "6ba5e9f7e1b310722be3627716cf469be941f7f3e39a4c3bcefea492ec31ee56"),
+    (2538687, 0x00198A8179900000, "8687937412f654b5cfe4a82b08f28393a0c040f77c6f95e26742c2fc4254bfde"),
+    (609606, 0x001D4E8D17100000, "5da820742ff5feb3369112938d3095785487456f65a8efc4b96dac4be7ebb259"),
+    (1205738, 0x000A7204DD600000, "cc70d8fad5472beb031b1aca356bcab86c7368f40faa24fe5f8922c6c268c299"),
+    (959742, 0x00183E71E1400000, "4065bdd778f95676c92b38ac265d361f81bff17d76e5d9452cf985a2ea5a4e39"),
+    (4036109, 0x001FEC043C700000, "b9cf166e75200eb4993fc9b6e22300a6790c75e6b0fc8f3f29b68a752d42f275"),
+    (1525894, 0x000B1574B1500000, "2f238180e4ca1f7520a05f3d6059233926341090f9236ce677690c1823eccab3"),
+    (1352720, 0x00018965F2E00000, "afd12f13286a3901430de816e62b85cc62468c059295ce5888b76b3af9028d84"),
+    (811884, 0x00155628AA100000, "42d0cdb1ee7c48e552705d18e061abb70ae7957027db8ae8db37ec756472a70a"),
+    (1282314, 0x001909A0A1400000, "819721c2457426eb4f4c7565050c44c32076a56fa9b4515a1c7796441730eb58"),
+    (1318021, 0x001CCEB980000000, "842eb53543db55bacac5e25cb91e43cc2e310fe5f9acc1aee86bdf5e91389374"),
+    (948640, 0x0011F7A470A00000, "b8e36bf7019bb96ac3fb7867659d2167d9d3b3148c09fe0de45850b8fe577185"),
+    (645464, 0x00030CE2D9400000, "5584bd27982191c3329f01ed846bfd266e96548dfa87018f745c33cfc240211d"),
+    (533758, 0x0004435C53C00000, "4da778a25b72a9a0d53529eccfe2e5865a789116cb1800f470d8df685a8ab05d"),
+    (1128303, 0x0000C48517800000, "08c6b0b38095b348d80300f0be4c5184d2744a17147c2cba5cc4315abf4c048f"),
+    (800374, 0x000968473F900000, "820284d2c8fd243429674c996d8eb8d3450cbc32421f43113e980f516282c7bf"),
+    (2453512, 0x001E197C92600000, "5fa870ed107c67704258e5e50abe67509fb73562caf77caa843b5f243425d853"),
+    (2651975, 0x000AE6C868000000, "181347d2bbec32bef77ad5e9001e6af80f6abcf3576549384d334ee00c1988d8"),
+    (237392, 0x0000000000000001, "fcd567f5d866357a8e299fd5b2359bb2c8157c30395229c4e9b0a353944a7978"),
+]
+
+
+def test_golden_32mib_fixture():
+    """The reference's primary golden vector, bit-exact end to end.
+
+    Regenerates chunker_test.go:117-123's payload (Go math/rand seeded 23,
+    reimplemented from the public algorithm in tests/go_rand.py) and asserts
+    every (start, length, cut_fp, sha256) of chunker_test.go:37-61. This
+    closes the common-mode risk of validating only against our own scalar
+    simulator (which shares gf2.py with the production kernel).
+    """
+    from go_rand import go_get_random
+
+    data = go_get_random(23, 32 * 1024 * 1024)
+    cfg = ChunkerConfig(pol=0x3DA3358B4DC173)
+    chunks = chunk_bytes(data, cfg)
+    assert len(chunks) == len(GOLDEN_32MIB)
+    pos = 0
+    for i, ((length, cut_fp, digest), c) in enumerate(zip(GOLDEN_32MIB, chunks)):
+        assert c.start == pos, f"chunk {i} start"
+        assert c.length == length, f"chunk {i} length"
+        assert c.cut_fp == cut_fp, f"chunk {i} cut_fp"
+        payload = data[c.start : c.start + c.length]
+        assert hashlib.sha256(payload).hexdigest() == digest, f"chunk {i} sha"
+        pos += c.length
+    assert pos == len(data)
+
+
 @pytest.mark.parametrize("seed", [0, 1, 7])
 def test_matches_scalar_simulator(seed):
     cfg = ChunkerConfig(min_size=64, max_size=512, avg_bits=6)
