@@ -78,14 +78,22 @@ def shingle_hashes_batch(
 _EMPTY_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+# Shingle-block size for the signature reductions: bounds the transient
+# (block, num_perms)/(block, bits) matrices to a fixed ~64 MiB regardless of
+# payload size (a 64 MB file with 64-byte shingles has ~1M shingles — the
+# unblocked formulation allocated ~1 GB per row inside the executor UDF).
+_SIG_BLOCK = 65536
+
+
 def minhash_signature(hashes: np.ndarray, cfg: SignatureConfig) -> np.ndarray:
     """MinHash signature, shape (num_perms,) uint64. Empty set -> all-max."""
     a, b = minhash_params(cfg.num_perms, cfg.seed)
-    if hashes.size == 0:
-        return np.full(cfg.num_perms, _EMPTY_SENTINEL, dtype=np.uint64)
-    # (n_shingles, num_perms) wrapped affine; min over shingles
-    m = hashes[:, None] * a[None, :] + b[None, :]
-    return m.min(axis=0)
+    acc = np.full(cfg.num_perms, _EMPTY_SENTINEL, dtype=np.uint64)
+    for i in range(0, hashes.size, _SIG_BLOCK):
+        # (block, num_perms) wrapped affine; min over shingles in the block
+        m = hashes[i : i + _SIG_BLOCK, None] * a[None, :] + b[None, :]
+        np.minimum(acc, m.min(axis=0), out=acc)
+    return acc
 
 
 def simhash(hashes: np.ndarray, cfg: SignatureConfig) -> int:
@@ -93,9 +101,11 @@ def simhash(hashes: np.ndarray, cfg: SignatureConfig) -> int:
     if hashes.size == 0:
         return 0
     shifts = np.arange(cfg.simhash_bits, dtype=np.uint64)
-    bits = (hashes[:, None] >> shifts[None, :]) & np.uint64(1)
-    votes = 2 * bits.astype(np.int64) - 1
-    agg = votes.sum(axis=0)
+    agg = np.zeros(cfg.simhash_bits, dtype=np.int64)
+    for i in range(0, hashes.size, _SIG_BLOCK):
+        blk = hashes[i : i + _SIG_BLOCK]
+        bits = (blk[:, None] >> shifts[None, :]) & np.uint64(1)
+        agg += 2 * bits.astype(np.int64).sum(axis=0) - len(blk)
     sig = np.uint64(0)
     for i in range(cfg.simhash_bits):
         if agg[i] > 0:

@@ -23,17 +23,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _collect_matrix(emb: DataFrame) -> tuple[np.ndarray, np.ndarray]:
-    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+# Hard ceiling on rows the brute-force baseline may pull to the driver.
+# 200k × 128-dim float64 ≈ 200 MB broadcast — the outer edge of sane.
+BRUTE_FORCE_MAX_ROWS = 200_000
+
+
+def _collect_matrix(
+    emb: DataFrame, max_rows: int = BRUTE_FORCE_MAX_ROWS
+) -> tuple[np.ndarray, np.ndarray]:
+    rows = emb.select("vec_id", "embedding").limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"brute-force path refuses > {max_rows} vectors (driver collect "
+            "would not survive at scale) — use ivf_pairs or the sign-LSH "
+            "bucketed path (queries.q_ann_signlsh) instead"
+        )
+    rows.sort(key=lambda r: r["vec_id"])
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
     return ids, mat
 
 
-def brute_force_pairs(emb: DataFrame, threshold: float) -> DataFrame:
-    """All (a < b) pairs with cosine >= threshold; broadcast blocked matmul."""
+def brute_force_pairs(
+    emb: DataFrame, threshold: float, max_rows: int = BRUTE_FORCE_MAX_ROWS
+) -> DataFrame:
+    """All (a < b) pairs with cosine >= threshold; broadcast blocked matmul.
+
+    Honestly labeled the O(n^2) baseline: refuses inputs over `max_rows`
+    (the scale paths are ivf_pairs / sign-LSH buckets)."""
     spark = emb.sparkSession
-    ids, mat = _collect_matrix(emb)
+    ids, mat = _collect_matrix(emb, max_rows)
     norms = np.sqrt((mat * mat).sum(axis=1))
     bc = spark.sparkContext.broadcast((ids, mat, norms))
 
@@ -66,7 +85,16 @@ def train_centroids(
     (n_cells, dim) centroid matrix ever reaches the driver.
     """
     spark = emb.sparkSession
-    sample = emb.select("vec_id", "embedding").orderBy("vec_id").limit(n_cells * 64)
+    # deterministic distributed sample: hash-mod filter, no global sort and
+    # no partition-order dependence (xxhash64 of vec_id is stable everywhere)
+    want = n_cells * 64
+    total = emb.count()
+    if total > want:
+        mod = max(total // want, 1)
+        sample = emb.where(F.pmod(F.xxhash64("vec_id"), F.lit(mod)) == 0)
+    else:
+        sample = emb
+    sample = sample.select("vec_id", "embedding")
     ids, mat = _collect_matrix(sample)
     rng = np.random.default_rng(seed)
     centroids = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]

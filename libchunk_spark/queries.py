@@ -264,12 +264,33 @@ GROUP BY doc_id
 """
 
 
+# grams appearing in more than this many documents are excluded from the
+# Jaccard computation on BOTH engines (license-header boilerplate shared by
+# thousands of docs would otherwise make the gram self-join quadratic).
+NGRAM_DF_CAP = 64
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3gram Jaccard similarity pairs >= threshold (n^2 baseline)."""
-    grams = (
+    """Exact word-3gram Jaccard pairs >= threshold over df-capped grams.
+
+    Semantics: Jaccard over the gram sets restricted to grams with document
+    frequency <= NGRAM_DF_CAP — identical restriction in the DuckDB oracle,
+    so values match. The cap bounds the gram self-join: no gram can fan out
+    to more than cap^2/2 pairs, killing the boilerplate blowup at scale.
+    Dropped-gram volume is observable via the `ngram_df_cap` metric.
+    """
+    grams_all = (
         _docs(spark, sf_dir)
         .select("doc_id", F.explode(_grams3()).alias("gram"))
     )
+    # _grams3 is array_distinct per doc, so count(*) per gram == document freq
+    df_ok = (
+        grams_all.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= NGRAM_DF_CAP)
+        .select("gram")
+    )
+    grams = grams_all.join(df_ok, "gram")
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
     l = grams.alias("l")
     r = grams.alias("r")
@@ -296,7 +317,12 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_NGRAM_JACCARD_PAIRS = f"""
-WITH grams AS ({_SQL_GRAMS3}),
+WITH grams_all AS ({_SQL_GRAMS3}),
+grams AS (
+  SELECT doc_id, gram FROM grams_all
+  WHERE gram IN (SELECT gram FROM grams_all GROUP BY gram
+                 HAVING count(*) <= {NGRAM_DF_CAP})
+),
 sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
 inter AS (
   SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
@@ -465,47 +491,14 @@ GROUP BY d.doc_id
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine similarity pairs >= threshold over embeddings.
 
-    Scale path: the right side is broadcast as a NumPy matrix and each
-    partition of left rows computes a vectorized block of the similarity
-    matrix (mapInPandas + BLAS matmul) — no per-pair JVM expression trees.
-    At cluster scale the broadcast side becomes the IVF/LSH-pruned candidate
-    set; here it is the full (small) table.
+    Delegates to operators.similarity.brute_force_pairs: broadcast NumPy
+    matrix, vectorized per-partition matmul blocks. Honestly the O(n^2)
+    baseline — it refuses inputs over BRUTE_FORCE_MAX_ROWS (the scale paths
+    are ann_ivf / ann_signlsh).
     """
-    import numpy as np
-    import pandas as pd
+    from libchunk_spark.operators.similarity import brute_force_pairs
 
-    rows = (
-        _emb(spark, sf_dir)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .collect()
-    )
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
-    thr = COSINE_THRESHOLD
-
-    def block(batches):
-        b_ids, b_mat, b_norms = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            v = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
-            vn = np.sqrt((v * v).sum(axis=1))
-            sims = (v @ b_mat.T) / np.outer(vn, b_norms)
-            sims = np.round(sims, 4)
-            a_ids = pdf["vec_id"].to_numpy()
-            li, ri = np.nonzero((sims >= thr) & (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {"a": a_ids[li], "b": b_ids[ri], "sim": sims[li, ri]}
-            )
-
-    return (
-        _emb(spark, sf_dir)
-        .select("vec_id", "embedding")
-        .mapInPandas(block, "a long, b long, sim double")
-    )
+    return brute_force_pairs(_emb(spark, sf_dir), COSINE_THRESHOLD)
 
 
 SQL_COSINE_TOPK = f"""
@@ -519,7 +512,7 @@ WHERE round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
 def q_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via sign-pattern LSH buckets + exact cosine re-rank (scale path).
 
-    Bucket = sign bits of the first 16 dims; candidates share a bucket.
+    Bucket = sign bits of the first 8 dims; candidates share a bucket.
     The brute-force q_cosine_topk is the baseline this approximates.
     """
     e = _emb(spark, sf_dir).select(
@@ -610,14 +603,116 @@ FROM documents
 """
 
 
+IVF_RECALL_FLOOR = 0.9
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate cosine pairs (similarity-search scale path;
-    not SQL-expressible — seeded k-means training — rows-only check)."""
-    from libchunk_spark.operators.similarity import ivf_pairs
+    """IVF-bucketed ANN, value-checked against the exact pair set in-Spark.
 
-    return ivf_pairs(_emb(spark, sf_dir), COSINE_THRESHOLD, n_cells=8)
+    The IVF pair list itself is not SQL-expressible (seeded k-means), but
+    its *contract* is: emit (n_brute, recall_ok) where n_brute is the exact
+    threshold-pair count (SQL-computable) and recall_ok asserts IVF recall
+    >= IVF_RECALL_FLOOR vs that exact set. The oracle independently computes
+    n_brute and expects recall_ok = true, so the driver value-checks both
+    the exact baseline and the ANN recall floor.
+    """
+    from libchunk_spark.operators.similarity import brute_force_pairs, ivf_pairs
+
+    emb = _emb(spark, sf_dir)
+    brute = brute_force_pairs(emb, COSINE_THRESHOLD).select("a", "b")
+    ivf = ivf_pairs(emb, COSINE_THRESHOLD, n_cells=8).select("a", "b")
+    stats = brute.join(ivf, ["a", "b"], "left_semi").agg(
+        F.count("*").alias("n_hit")
+    )
+    return (
+        brute.agg(F.count("*").alias("n_brute"))
+        .crossJoin(stats)
+        .select(
+            "n_brute",
+            (F.col("n_hit") >= IVF_RECALL_FLOOR * F.col("n_brute")).alias(
+                "recall_ok"
+            ),
+        )
+    )
 
 
+SQL_ANN_IVF = f"""
+SELECT count(*) AS n_brute, true AS recall_ok
+FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+WHERE round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 4) >= {COSINE_THRESHOLD}
+"""
+
+
+
+
+def _containment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived corpus with planted containment: base file g = concat of docs
+    [5g, 5g+5) ordered by doc_id; composite 100000+g = base || ' ' ||
+    reverse(base). Every base is verbatim-contained in its composite (as a
+    prefix), nothing else contains anything (reverse ensures a composite
+    never contains a different base unless the bases themselves collide)."""
+    docs = _docs(spark, sf_dir)
+    base = docs.groupBy(
+        F.floor(F.col("doc_id") / 5).cast("long").alias("file_id")
+    ).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s.text,
+            ),
+        ).alias("content")
+    )
+    comp = base.select(
+        (F.col("file_id") + 100000).alias("file_id"),
+        F.concat_ws(" ", "content", F.reverse("content")).alias("content"),
+    )
+    return base.unionByName(comp)
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring containment: chunk-key candidates + suffix-array verify.
+
+    Exercises operators/containment.py end-to-end (the generalization of
+    libchunk's content addressing, bits/config.go:42-44, to cross-file
+    containment). Candidate generation is chunk-key sharing — a base file's
+    chunks reappear verbatim in its composite because CDC cut points are
+    content-local and the base is the composite's PREFIX (cut decisions
+    depend only on bytes since the last cut, so the prefix's cuts are
+    guaranteed identical — no probabilistic resync needed). The suffix-array
+    pass then verifies actual substring containment, so the result equals
+    DuckDB's position()-over-all-pairs oracle exactly.
+    """
+    from libchunk_spark.operators.containment import (
+        containment_candidates,
+        verify_containment,
+    )
+
+    corpus = _containment_corpus(spark, sf_dir)
+    res = split(corpus, DOCS_CONFIG.chunk)
+    cands = containment_candidates(
+        res.chunks, res.file_keys, containment_frac=0.3, key_freq_cap=256
+    )
+    return verify_containment(cands, corpus).select("a", "b")
+
+
+SQL_CONTAINMENT_PAIRS = """
+WITH base AS (
+  SELECT CAST(floor(doc_id / 5) AS BIGINT) AS file_id,
+         string_agg(text, ' ' ORDER BY doc_id) AS content
+  FROM documents GROUP BY 1
+),
+corpus AS (
+  SELECT file_id, content FROM base
+  UNION ALL
+  SELECT file_id + 100000, content || ' ' || reverse(content) FROM base
+)
+SELECT l.file_id AS a, r.file_id AS b
+FROM corpus l JOIN corpus r
+  ON l.file_id < r.file_id
+ AND (position(l.content IN r.content) > 0
+   OR position(r.content IN l.content) > 0)
+"""
 
 
 def q_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -825,7 +920,8 @@ QUERIES = {
     "cosine_pairs": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_signlsh": (q_ann_signlsh, SQL_ANN_SIGNLSH),
     "regex_tokens": (q_regex_tokens, SQL_REGEX_TOKENS),
-    "ann_ivf": (q_ann_ivf, None),  # seeded k-means: not SQL-expressible
+    "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),  # recall-floor contract vs exact set
+    "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "chunk_stats": (q_chunk_stats, None),  # chunker: not SQL-expressible
     "dedup_ratio": (q_dedup_ratio, None),  # chunker: not SQL-expressible
 }
