@@ -53,15 +53,11 @@ def main() -> None:
     split(warm, CCFG.chunk, keep_payload=False).chunks.count()
     spark.range(1000).select(F.sha2(F.col("id").cast("string"), 256)).count()
 
-    timings: dict[str, float] = {}
+    # best-of-N: single-run host noise is +-25% (BENCH/BASELINE.md), so
+    # round-over-round comparisons need a pinned statistic.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
-    def bench(name: str, fn) -> None:
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
-
-    # --- driver-table queries (documents/embeddings at sf_dir) ---
-    for qname in [
+    QUERY_NAMES = [
         "exact_dup_groups",
         "round_trip_sha",
         "minhash",
@@ -70,12 +66,12 @@ def main() -> None:
         "ngram_jaccard_pairs",
         "components",
         "cosine_pairs",
+        "containment_pairs",
         "chunk_stats",
-    ]:
-        qfn = Q.QUERIES[qname][0]
-        bench(qname, lambda qfn=qfn: qfn(spark, sf_dir).count())
+    ]
 
-    # --- full pipeline on a synthetic source-code corpus (throughput) ---
+    # --- synthetic source-code corpus for the pipeline phases (built once,
+    # outside the timed loop) ---
     gen_t0 = time.time()
     rows = generate_corpus_fast(n_bench_files, seed=42)
     total_bytes = sum(len(c) for _, c in rows)
@@ -88,42 +84,65 @@ def main() -> None:
     gen_sec = time.time() - gen_t0
 
     import shutil
+    import statistics
     import tempfile
 
-    sig_tmp = tempfile.mkdtemp(prefix="bench_sigs_")
-    try:
-        # phase 1 — chunk+sign: signatures checkpoint to parquet (the
-        # production handoff; cache() of wide array columns is slower) and
-        # the chunk index materializes. chunk_index.count() genuinely needs
-        # the chunk UDF's k column, so nothing is pruned.
-        t0 = time.time()
-        sign(corpus, CCFG).write.mode("overwrite").parquet(sig_tmp)
-        sp = split(corpus, CCFG.chunk, keep_payload=False)
-        n_keys = sp.chunk_index.count()
-        chunk_sign_sec = time.time() - t0
-        timings["pipeline_chunk_sign"] = round(chunk_sign_sec, 3)
+    runs: list[dict[str, float]] = []
+    n_keys = n_clusters = 0
+    for _rep in range(repeats):
+        timings: dict[str, float] = {}
 
-        # phase 2 — cluster: edges + connected components from the
-        # checkpointed signatures
-        t0 = time.time()
-        sigs_c = spark.read.parquet(sig_tmp)
-        edges = minhash_candidate_edges(sigs_c, CCFG).unionByName(
-            simhash_candidate_edges(sigs_c, CCFG)
-        )
-        comp = connected_components(edges, all_nodes=corpus.select("file_id"))
-        n_clusters = comp.select("component").distinct().count()
-        timings["pipeline_cluster"] = round(time.time() - t0, 3)
-    finally:
-        shutil.rmtree(sig_tmp, ignore_errors=True)
+        def bench(name: str, fn) -> None:
+            t0 = time.time()
+            fn()
+            timings[name] = round(time.time() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+        # --- driver-table queries (documents/embeddings at sf_dir) ---
+        for qname in QUERY_NAMES:
+            qfn = Q.QUERIES[qname][0]
+            bench(qname, lambda qfn=qfn: qfn(spark, sf_dir).count())
+
+        sig_tmp = tempfile.mkdtemp(prefix="bench_sigs_")
+        try:
+            # phase 1 — chunk+sign: signatures checkpoint to parquet (the
+            # production handoff; cache() of wide array columns is slower)
+            # and the chunk index materializes. chunk_index.count() genuinely
+            # needs the chunk UDF's k column, so nothing is pruned.
+            t0 = time.time()
+            sign(corpus, CCFG).write.mode("overwrite").parquet(sig_tmp)
+            sp = split(corpus, CCFG.chunk, keep_payload=False)
+            n_keys = sp.chunk_index.count()
+            timings["pipeline_chunk_sign"] = round(time.time() - t0, 3)
+
+            # phase 2 — cluster: edges + connected components from the
+            # checkpointed signatures
+            t0 = time.time()
+            sigs_c = spark.read.parquet(sig_tmp)
+            edges = minhash_candidate_edges(sigs_c, CCFG).unionByName(
+                simhash_candidate_edges(sigs_c, CCFG)
+            )
+            comp = connected_components(edges, all_nodes=corpus.select("file_id"))
+            n_clusters = comp.select("component").distinct().count()
+            timings["pipeline_cluster"] = round(time.time() - t0, 3)
+        finally:
+            shutil.rmtree(sig_tmp, ignore_errors=True)
+        runs.append(timings)
+
+    best = {k: min(r[k] for r in runs) for k in runs[0]}
+    chunk_sign_sec = best["pipeline_chunk_sign"]
+    total = round(sum(best.values()), 3)
+    totals = [round(sum(r.values()), 3) for r in runs]
     out = {
         "metric": "headline_total_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": best,
         "sf": sf,
         "cpus": cpus,
+        "runs": repeats,
+        "stat": "best_of_n_per_query",
+        "run_totals": totals,
+        "median_total": round(statistics.median(totals), 3),
         "bench_files": n_bench_files,
         "bench_mb": round(total_bytes / 1e6, 1),
         "files_per_sec_chunk_sign": round(n_bench_files / chunk_sign_sec, 1),

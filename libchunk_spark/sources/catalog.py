@@ -128,3 +128,62 @@ class StageCatalog:
         if self.iceberg_catalog:
             return spark.read.table(f"{self.iceberg_catalog}.{stage}")
         return spark.read.parquet(self._dir(stage))
+
+    def merge_append(
+        self,
+        stage: str,
+        df: DataFrame,
+        key_cols: list[str],
+        fingerprint: str,
+        inputs: list[str] | None = None,
+    ) -> DataFrame:
+        """Idempotent keyed append — the transactional analog of the
+        reference Store.Put contract ("will do nothing if exists, must be
+        atomic", bits/bits.go:51-52; BoltStore existence check
+        bits/store/bolt.go:52-55).
+
+        Iceberg path: ``MERGE INTO ... WHEN NOT MATCHED THEN INSERT *`` —
+        snapshot-isolated, concurrent-writer safe. Parquet path (tested in
+        this sandbox, no Iceberg jar): left-anti join against the existing
+        keys, then append; same result, directory-level atomicity only.
+        Re-merging the same batch is a no-op on both paths.
+        """
+        spark = df.sparkSession
+        if self.iceberg_catalog:
+            tbl = f"{self.iceberg_catalog}.{stage}"
+            if not spark.catalog.tableExists(tbl):
+                df.writeTo(tbl).create()
+            else:
+                view = f"_merge_src_{stage}"
+                df.createOrReplaceTempView(view)
+                cond = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+                spark.sql(
+                    f"MERGE INTO {tbl} t USING {view} s ON {cond} "
+                    "WHEN NOT MATCHED THEN INSERT *"
+                )
+            return self.read_stage(spark, stage)
+
+        path = self._dir(stage)
+        m = self.manifest(stage)
+        if m and m.get("complete"):
+            existing_keys = self.read_stage(spark, stage).select(*key_cols)
+            new_rows = df.join(existing_keys, key_cols, "left_anti")
+            new_rows.write.mode("append").parquet(path)
+        else:
+            df.dropDuplicates(key_cols).write.mode("overwrite").parquet(path)
+        out = self.read_stage(spark, stage)
+        manifest = {
+            "stage": stage,
+            "snapshot_id": uuid.uuid4().hex,
+            "fingerprint": fingerprint,
+            "inputs": inputs or [],
+            "rows": out.count(),
+            "merge_keys": key_cols,
+            "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "complete": True,
+        }
+        os.makedirs(path, exist_ok=True)
+        with open(self._manifest_path(stage), "w") as f:
+            json.dump(manifest, f, indent=1)
+        self._manifests[stage] = manifest
+        return out

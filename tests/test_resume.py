@@ -66,6 +66,61 @@ def test_config_change_invalidates_checkpoints(spark, corpus, tmp_path_factory):
     assert r2.stages_run  # stale-fingerprint checkpoints recomputed
 
 
+def _iceberg_jar_present() -> bool:
+    import glob
+
+    import pyspark
+
+    jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    return bool(glob.glob(os.path.join(jars, "*iceberg*.jar")))
+
+
+def test_merge_append_idempotent_parquet(spark, tmp_path_factory):
+    """MERGE-INTO analog (bits.Store.Put idempotency, bits/bits.go:51-52):
+    re-merging the same batch adds nothing; new keys append."""
+    root = str(tmp_path_factory.mktemp("merge"))
+    cat = StageCatalog(root=root)
+    fp = "fp0"
+    b1 = spark.createDataFrame([(1, "a"), (2, "b"), (2, "b")], "k long, v string")
+    out = cat.merge_append("chunk_index", b1, ["k"], fp)
+    assert out.count() == 2  # intra-batch dups collapsed
+    out = cat.merge_append("chunk_index", b1, ["k"], fp)
+    assert out.count() == 2  # re-put of existing keys is a no-op
+    b2 = spark.createDataFrame([(2, "b"), (3, "c")], "k long, v string")
+    out = cat.merge_append("chunk_index", b2, ["k"], fp)
+    assert out.count() == 3  # only the new key landed
+    assert {r["k"] for r in out.collect()} == {1, 2, 3}
+    m = cat.manifest("chunk_index")
+    assert m["complete"] and m["merge_keys"] == ["k"] and m["rows"] == 3
+
+
+@pytest.mark.skipif(
+    not _iceberg_jar_present(),
+    reason="no Iceberg runtime jar in this sandbox (SURVEY.md §7); "
+    "the MERGE INTO branch is exercised when a jar is configured",
+)
+def test_merge_append_iceberg(tmp_path_factory):
+    """Same contract through the Iceberg seam (writeTo + MERGE INTO)."""
+    from libchunk_spark.session import get_spark
+
+    wh = str(tmp_path_factory.mktemp("iceberg_wh"))
+    spark = get_spark(
+        app="iceberg-merge",
+        master="local[2]",
+        extra={
+            "spark.sql.catalog.local": "org.apache.iceberg.spark.SparkCatalog",
+            "spark.sql.catalog.local.type": "hadoop",
+            "spark.sql.catalog.local.warehouse": wh,
+        },
+    )
+    cat = StageCatalog(root=wh, iceberg_catalog="local.db")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    assert cat.merge_append("chunk_index", b1, ["k"], "fp").count() == 2
+    assert cat.merge_append("chunk_index", b1, ["k"], "fp").count() == 2
+    b2 = spark.createDataFrame([(3, "c")], "k long, v string")
+    assert cat.merge_append("chunk_index", b2, ["k"], "fp").count() == 3
+
+
 def test_manifest_has_lineage_and_metrics(spark, corpus, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("ckpt"))
     run_pipeline(corpus, CFG, StageCatalog(root=root), with_containment=False)
