@@ -316,12 +316,9 @@ def orchestrate_fleet(n: int, n_files: int, repeats: int = 2) -> None:
     basis for the "many small executors" deployment guidance in
     BENCH/FLEET.md. The cluster-COUNT scaling criterion (fixed-size
     executors, N vs 4N of them) is orchestrate() + kernel_contention.py.
-    For reference,
 
-        efficiency = per-core throughput at c=4n / per-core throughput at c=n
-
-    isolates true coordination/scaling loss (shuffle width, task scheduling,
-    stragglers) from cache contention.
+    Reported ratio = per-core throughput at c=4n / per-core throughput at
+    c=n, both under identical full-machine contention.
     """
     total_cores = os.cpu_count() or 32
     corpus_path = _ensure_corpus(n_files)

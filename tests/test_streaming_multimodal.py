@@ -50,6 +50,58 @@ def test_streaming_ingest_dedups_across_batches(spark, tmp_path):
     assert idx_df.count() == idx_df.select("k").distinct().count()
 
 
+def test_stateful_sessionization_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization over a chronologically split
+    replay must equal the batch lag+running-sum answer (q_event_sessions)."""
+    from libchunk_spark.queries import q_event_sessions
+    from libchunk_spark.streaming.sessionize import (
+        latest_sessions,
+        sessionize_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    src = str(tmp_path / "replay")
+    os.makedirs(src)
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .orderBy("ts")
+        .toPandas()
+    )
+    n = len(events)
+    assert n > 100
+    cuts = [0, n // 4, n // 2, 3 * n // 4, n]
+    for i in range(4):
+        events.iloc[cuts[i] : cuts[i + 1]].to_parquet(
+            f"{src}/{i:03d}.parquet",
+            index=False,
+            coerce_timestamps="us",  # Spark reads TIMESTAMP(MICROS), not raw ns INT64
+            allow_truncated_timestamps=True,
+        )
+
+    out = str(tmp_path / "sessions")
+    q = sessionize_stream(spark, src, str(tmp_path / "ckpt"), out)
+    q.awaitTermination(180)
+
+    got = sorted(
+        tuple(r)
+        for r in latest_sessions(spark, out)
+        .select("user_id", "session_idx", "n_events", "first_event")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in q_event_sessions(spark, sf_dir)
+        .select(
+            "user_id",
+            F.col("session_idx").cast("long"),
+            "n_events",
+            "first_event",
+        )
+        .collect()
+    )
+    assert got == want
+
+
 @pytest.fixture(scope="module")
 def media(spark):
     rows = [
