@@ -277,20 +277,27 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency <= NGRAM_DF_CAP — identical restriction in the DuckDB oracle,
     so values match. The cap bounds the gram self-join: no gram can fan out
     to more than cap^2/2 pairs, killing the boilerplate blowup at scale.
-    Dropped-gram volume is observable via the `ngram_df_cap` metric.
+
+    The cap is a window count over the gram partition (not a groupBy+join):
+    one exchange on gram that the l/r self-join then REUSES (ReusedExchange
+    in the plan), so the expensive gram explosion is computed once, not four
+    times.
     """
+    from pyspark.sql import Window
+
     grams_all = (
         _docs(spark, sf_dir)
         .select("doc_id", F.explode(_grams3()).alias("gram"))
     )
-    # _grams3 is array_distinct per doc, so count(*) per gram == document freq
-    df_ok = (
-        grams_all.groupBy("gram")
-        .agg(F.count("*").alias("df"))
+    # _grams3 is array_distinct per doc, so count over the gram partition
+    # == document frequency
+    grams = (
+        grams_all.withColumn(
+            "df", F.count("*").over(Window.partitionBy("gram"))
+        )
         .where(F.col("df") <= NGRAM_DF_CAP)
-        .select("gram")
+        .drop("df")
     )
-    grams = grams_all.join(df_ok, "gram")
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
     l = grams.alias("l")
     r = grams.alias("r")
@@ -338,26 +345,38 @@ WHERE round(inter / CAST(na.sz + nb.sz - inter AS DOUBLE), 4) >= {NGRAM_JACCARD_
 """
 
 
-def q_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JVM-side MinHash signatures (exploded) with portable md5 gram hashes.
+def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per doc with all N_PERMS_SQL mins as columns (mh0..mh15).
 
-    Demonstrates the built-in-operator formulation of MinHash (explode →
-    broadcast perms → partial-agg min); the pipeline's production path uses
-    the vectorized UDF instead (operators/sign.py).
+    The fastest JVM-only MinHash shape: one groupBy(doc_id) with 16 min()
+    aggregates — no 16x row explosion through the shuffle and no perms join
+    (the constants fold into the expressions). Map-side partial aggregation
+    reduces each partition to one row per doc before the wire.
     """
-    perms = spark.createDataFrame(_perm_constants(), "perm int, a long, b long")
     grams = _docs(spark, sf_dir).select("doc_id", F.explode(_grams3()).alias("gram"))
     h31 = (_h60(F.col("gram")) % F.lit(1 << 31)).alias("h31")
-    return (
-        grams.select("doc_id", h31)
-        .join(F.broadcast(perms))
-        .groupBy("doc_id", "perm")
-        .agg(
-            F.min(
-                (F.col("a") * F.col("h31") + F.col("b")) % F.lit(MH_PRIME)
-            ).alias("mh")
-        )
+    aggs = [
+        F.min(
+            (F.lit(a) * F.col("h31") + F.lit(b)) % F.lit(MH_PRIME)
+        ).alias(f"mh{i}")
+        for i, a, b in _perm_constants()
+    ]
+    return grams.select("doc_id", h31).groupBy("doc_id").agg(*aggs)
+
+
+def q_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side MinHash signatures with portable md5 gram hashes.
+
+    Built-in-operator formulation (the production path is the vectorized
+    UDF in operators/sign.py): wide 16-aggregate groupBy, then stack() back
+    to the (doc_id, perm, mh) shape the oracle emits.
+    """
+    wide = _minhash_wide(spark, sf_dir)
+    stack = "stack({n}, {pairs}) as (perm, mh)".format(
+        n=N_PERMS_SQL,
+        pairs=", ".join(f"{i}, mh{i}" for i in range(N_PERMS_SQL)),
     )
+    return wide.selectExpr("doc_id", stack)
 
 
 def _sql_minhash_core() -> str:
@@ -376,22 +395,29 @@ SQL_MINHASH = _sql_minhash_core()
 
 
 def q_lsh_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding over the SQL-portable MinHash → candidate pairs."""
-    mh = q_minhash_sql(spark, sf_dir)
-    bands = (
-        mh.withColumn("band", F.floor(F.col("perm") / BAND_ROWS_SQL))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("perm", "mh"))),
-                        lambda s: s.mh.cast("string"),
-                    ),
-                )
-            ).alias("band_sig")
+    """LSH banding over the SQL-portable MinHash → candidate pairs.
+
+    Band signatures come straight off the wide MinHash row (md5 of the
+    band's mins in perm order — byte-identical to the oracle's
+    string_agg ... ORDER BY perm), so the whole path is ONE aggregation
+    shuffle + the band-bucket self-join; no collect_list re-aggregation.
+    """
+    wide = _minhash_wide(spark, sf_dir)
+    n_bands = N_PERMS_SQL // BAND_ROWS_SQL
+    sigs = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{b * BAND_ROWS_SQL + r}").cast("string")
+                    for r in range(BAND_ROWS_SQL)
+                ],
+            )
         )
+        for b in range(n_bands)
+    ]
+    bands = wide.select(
+        "doc_id", F.posexplode(F.array(*sigs)).alias("band", "band_sig")
     )
     l, r = bands.alias("l"), bands.alias("r")
     return (

@@ -60,6 +60,10 @@ def test_query_matches_oracle(spark, ddb, name):
     res = ddb.execute(sql)
     ddb_cols = [d[0] for d in res.description]
     ddb_rows = res.fetchall()
+    assert len(ddb_rows) > 0, (
+        f"{name}: oracle is trivially empty at sf0.01 — the value check "
+        "proves nothing (CLAUDE.md oracle rules)"
+    )
     assert sorted(spark_cols) == sorted(ddb_cols), (
         f"{name}: column mismatch {spark_cols} vs {ddb_cols}"
     )

@@ -108,3 +108,35 @@ def test_lsh_path_has_no_python_udf(spark):
         .toString()
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_band_rows_explicitly_repartitioned(spark):
+    """north_rule: explicit repartitioning on band-hash keys — the exploded
+    band rows must carry a hashpartitioning exchange on (band, band_hash)
+    ahead of the bucket aggregation."""
+    from libchunk_spark.operators.lsh import band_rows
+
+    sigs = spark.createDataFrame(
+        [(1, [7, 8]), (2, [7, 9])], "file_id long, bands array<long>"
+    )
+    plan = band_rows(sigs)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(band" in plan, plan
+
+
+def test_simhash_path_stays_jvm_side(spark):
+    """SimHash block explode + hamming verify must contain no Python nodes
+    and keep the partial-agg-friendly shape (no silent drop of big blocks
+    means a unionByName of pair and star branches)."""
+    from libchunk_spark.operators.lsh import simhash_candidate_edges
+
+    sigs = spark.createDataFrame(
+        [(1, 3), (2, 7)], "file_id long, simhash long"
+    )
+    plan = (
+        simhash_candidate_edges(sigs, CFG)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Union" in plan  # star-edge fallback branch is present
