@@ -585,6 +585,94 @@ WHERE round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
 """
 
 
+def q_emb_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: exact threshold pairs → connected
+    components → min-id representative election (SemDeDup-style verdict
+    table over the embedding modality). The exact pair set keeps the DuckDB
+    oracle byte-equal; at 100 TB the edges come from ann_ivf/ann_signlsh
+    instead and the rest of the plan is unchanged."""
+    from libchunk_spark.operators.components import connected_components
+    from libchunk_spark.operators.similarity import brute_force_pairs
+
+    emb = _emb(spark, sf_dir)
+    edges = brute_force_pairs(emb, COSINE_THRESHOLD).select("a", "b")
+    nodes = emb.select(F.col("vec_id").alias("file_id"))
+    comp = connected_components(edges, all_nodes=nodes)
+    return comp.select(
+        F.col("file_id").alias("vec_id"),
+        "component",
+        (F.col("file_id") == F.col("component")).alias("keep"),
+    )
+
+
+SQL_EMB_DEDUP_VERDICTS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT l.vec_id AS a, r.vec_id AS b
+  FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+  WHERE round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 4) >= {COSINE_THRESHOLD}
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT v.vec_id,
+       least(v.vec_id, coalesce(min(r.b), v.vec_id)) AS component,
+       v.vec_id = least(v.vec_id, coalesce(min(r.b), v.vec_id)) AS keep
+FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
+GROUP BY v.vec_id
+"""
+
+
+TOPK_K = 3
+
+
+def q_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k similarity search: for each query vector (vec_id % 50 == 0),
+    the K most-cosine-similar other vectors, rank ties broken by vec_id.
+
+    Rank semantics (row_number window over the exact scores) rather than a
+    threshold — the retrieval shape of embedding search. The scored
+    candidate set is the broadcast-matmul operator; at scale the candidates
+    come from the IVF/sign-LSH prune and the window is unchanged.
+    """
+    from pyspark.sql import Window
+
+    from libchunk_spark.operators.similarity import brute_force_pairs
+
+    emb = _emb(spark, sf_dir)
+    pairs = brute_force_pairs(emb, -1.0)  # all scored pairs, a < b
+    scored = pairs.select(
+        F.col("a").alias("q"), F.col("b").alias("cand"), "sim"
+    ).unionByName(
+        pairs.select(F.col("b").alias("q"), F.col("a").alias("cand"), "sim")
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("sim"), F.asc("cand"))
+    return (
+        scored.where(F.col("q") % 50 == 0)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK_K)
+        .select("q", "cand", "sim", "rank")
+    )
+
+
+SQL_TOPK_SIMILAR = f"""
+WITH scored AS (
+  SELECT l.vec_id AS q, r.vec_id AS cand,
+         round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 4) AS sim
+  FROM embeddings l JOIN embeddings r ON l.vec_id <> r.vec_id
+  WHERE l.vec_id % 50 = 0
+)
+SELECT q, cand, sim, CAST(rank AS INT) AS rank FROM (
+  SELECT q, cand, sim,
+         row_number() OVER (PARTITION BY q ORDER BY sim DESC, cand ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {TOPK_K}
+"""
+
+
 def q_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunk stats per doc (chunker not SQL-expressible —
     registered without oracle; driver runs rows-only check)."""
@@ -947,6 +1035,8 @@ QUERIES = {
     "ann_signlsh": (q_ann_signlsh, SQL_ANN_SIGNLSH),
     "regex_tokens": (q_regex_tokens, SQL_REGEX_TOKENS),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),  # recall-floor contract vs exact set
+    "emb_dedup_verdicts": (q_emb_dedup_verdicts, SQL_EMB_DEDUP_VERDICTS),
+    "topk_similar": (q_topk_similar, SQL_TOPK_SIMILAR),
     "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "chunk_stats": (q_chunk_stats, None),  # chunker: not SQL-expressible
     "dedup_ratio": (q_dedup_ratio, None),  # chunker: not SQL-expressible
