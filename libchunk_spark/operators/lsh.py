@@ -45,8 +45,13 @@ def minhash_candidate_edges(
     signatures: DataFrame,
     cfg: PipelineConfig,
     mode: str = "star",
+    observation=None,
 ) -> DataFrame:
-    """Candidate dup edges (a, b), a < b, from MinHash LSH buckets."""
+    """Candidate dup edges (a, b), a < b, from MinHash LSH buckets.
+
+    In allpairs mode, pass a ``pyspark.sql.Observation`` to record how many
+    rows/buckets were degraded to star edges (metrics `oversized_rows` /
+    `oversized_blocks`, recorded when the plan executes)."""
     rows = band_rows(signatures)
     if mode == "star":
         reps = rows.groupBy("band", "band_hash").agg(
@@ -60,17 +65,27 @@ def minhash_candidate_edges(
         )
         return edges
     if mode == "allpairs":
-        return _allpairs_with_cap(rows, cfg.bucket_pair_cap)
+        return _allpairs_with_cap(rows, cfg.bucket_pair_cap, observation)
     raise ValueError(f"unknown mode {mode!r}")
 
 
-def _allpairs_with_cap(rows: DataFrame, cap: int) -> DataFrame:
+def _allpairs_with_cap(rows: DataFrame, cap: int, observation=None) -> DataFrame:
     sized = rows.join(
         rows.groupBy("band", "band_hash").agg(F.count("*").alias("sz")),
         ["band", "band_hash"],
     )
     small = sized.where(F.col("sz") <= cap).drop("sz")
     big = sized.where(F.col("sz") > cap).drop("sz")
+    if observation is not None:
+        big = big.observe(
+            observation,
+            F.count(F.lit(1)).alias("oversized_rows"),
+            # DISTINCT aggregates are rejected in observed metrics; the HLL
+            # sketch is plenty for a degradation signal.
+            F.approx_count_distinct(
+                F.concat_ws(":", "band", "band_hash")
+            ).alias("oversized_blocks"),
+        )
     l, r = small.alias("l"), small.alias("r")
     pair_edges = (
         l.join(r, ["band", "band_hash"])
@@ -106,6 +121,8 @@ def simhash_candidate_edges(
     ~5e7 (or, before this fix, zero). Pass a ``pyspark.sql.Observation`` as
     `observation` to count degraded rows (`oversized_rows` /
     `oversized_blocks` metrics recorded when the returned plan executes).
+    NB: a pyspark Observation is single-action — don't pass one when the
+    result feeds a multi-action consumer like the components loop.
     """
     sig = cfg.signature
     radius = sig.simhash_blocks - 1 if radius is None else radius

@@ -121,12 +121,20 @@ def test_connected_components_chain_converges(spark):
 
 
 def test_star_edges_preserve_connectivity(spark):
-    """Star mode must yield identical components to allpairs mode."""
+    """Star mode must yield identical components to allpairs mode, and the
+    allpairs degradation counter must be observable."""
+    from pyspark.sql import Observation
+
     rows = generate_corpus(n_files=120, seed=77)
     corpus = corpus_to_spark(spark, rows).cache()
     sigs = sign(corpus, CFG).cache()
     star = minhash_candidate_edges(sigs, CFG, mode="star")
     allp = minhash_candidate_edges(sigs, CFG, mode="allpairs")
+    # the Observation is single-action: attach it to a dedicated instance
+    # (the CC loop below runs many actions, which an Observation rejects)
+    obs = Observation("minhash_allpairs")
+    minhash_candidate_edges(sigs, CFG, mode="allpairs", observation=obs).count()
+    assert obs.get["oversized_rows"] >= 0  # metric recorded (0 when no skew)
     c1 = connected_components(star, all_nodes=corpus.select("file_id"))
     c2 = connected_components(allp, all_nodes=corpus.select("file_id"))
     assert c1.exceptAll(c2).count() == 0 and c2.exceptAll(c1).count() == 0
