@@ -442,28 +442,29 @@ WHERE l.doc_id < r.doc_id
 
 
 def q_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash from md5 gram hashes — JVM/SQL portable formulation."""
+    """32-bit SimHash from md5 gram hashes — JVM/SQL portable formulation.
+
+    One groupBy(doc_id) with 32 folded vote-sum aggregates (no 32x bit-row
+    explosion through the shuffle; map-side partial agg reduces each
+    partition to one row per doc), then the sign bits assemble in a single
+    projection. Same math as the oracle's unnest(range(32)) formulation.
+    """
     grams = _docs(spark, sf_dir).select("doc_id", F.explode(_grams3()).alias("gram"))
     hashed = grams.select("doc_id", _h60(F.col("gram")).alias("h"))
-    bits = hashed.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"), "h"
-    ).withColumn(
-        "vote",
-        F.when(F.expr("shiftright(h, cast(b as int)) & 1") == 1, 1).otherwise(-1),
-    )
-    return (
-        bits.groupBy("doc_id", "b")
-        .agg(F.sum("vote").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s") > 0,
-                    F.expr("shiftleft(cast(1 as bigint), cast(b as int))"),
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("simhash32")
-        )
-    )
+    votes = [
+        F.sum(
+            F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(32)
+    ]
+    wide = hashed.groupBy("doc_id").agg(*votes)
+    sig = None
+    for b in range(32):
+        term = F.when(
+            F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return wide.select("doc_id", sig.alias("simhash32"))
 
 
 SQL_SIMHASH32 = f"""

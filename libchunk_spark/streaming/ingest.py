@@ -80,9 +80,11 @@ def windowed_event_stats_stream(
 ):
     """Structured Streaming windowed aggregation over the events table:
     1-hour tumbling windows with a watermark for late data, complete on
-    availableNow. Batch-equivalent: queries.q_event_window_stats — the
-    streaming result must match it exactly once the stream drains
-    (verified in tests)."""
+    availableNow. Batch-equivalent: queries.q_event_window_stats — counts
+    and sums match it exactly once the stream drains (verified in tests);
+    the user column is `approx_users` (HLL sketch, append-mode-compatible
+    state), deliberately named differently from the batch twin's exact
+    `n_users` because the values may differ."""
     events = (
         spark.readStream.schema(
             "event_id long, ts timestamp, user_id long, "
