@@ -75,6 +75,42 @@ def brute_force_pairs(
     )
 
 
+def scored_candidates(
+    emb: DataFrame,
+    queries: DataFrame,
+    max_rows: int = BRUTE_FORCE_MAX_ROWS,
+) -> DataFrame:
+    """(q, cand, sim) for every query row against every other vector.
+
+    The retrieval shape: only the (small) query subset streams through the
+    matmul, the candidate side is the broadcast matrix — output is
+    |queries| x n, not n^2. At cluster scale the broadcast side becomes the
+    IVF/sign-LSH-pruned candidate set; ranking happens downstream.
+    """
+    spark = emb.sparkSession
+    ids, mat = _collect_matrix(emb, max_rows)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+            vn = np.sqrt((v * v).sum(axis=1))
+            sims = np.round((v @ b_mat.T) / np.outer(vn, b_norms), 4)
+            q_ids = pdf["vec_id"].to_numpy()
+            li, ri = np.nonzero(q_ids[:, None] != b_ids[None, :])  # no self
+            yield pd.DataFrame(
+                {"q": q_ids[li], "cand": b_ids[ri], "sim": sims[li, ri]}
+            )
+
+    return queries.select("vec_id", "embedding").mapInPandas(
+        block, "q long, cand long, sim double"
+    )
+
+
 def train_centroids(
     emb: DataFrame, n_cells: int, iters: int = 5, seed: int = 7
 ) -> np.ndarray:

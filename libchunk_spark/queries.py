@@ -634,25 +634,20 @@ def q_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     the K most-cosine-similar other vectors, rank ties broken by vec_id.
 
     Rank semantics (row_number window over the exact scores) rather than a
-    threshold — the retrieval shape of embedding search. The scored
-    candidate set is the broadcast-matmul operator; at scale the candidates
-    come from the IVF/sign-LSH prune and the window is unchanged.
+    threshold — the retrieval shape of embedding search. Only the query
+    subset streams through the matmul (|queries| x n scored rows, not n^2);
+    at scale the broadcast candidate side comes from the IVF/sign-LSH prune
+    and the ranking window is unchanged.
     """
     from pyspark.sql import Window
 
-    from libchunk_spark.operators.similarity import brute_force_pairs
+    from libchunk_spark.operators.similarity import scored_candidates
 
     emb = _emb(spark, sf_dir)
-    pairs = brute_force_pairs(emb, -1.0)  # all scored pairs, a < b
-    scored = pairs.select(
-        F.col("a").alias("q"), F.col("b").alias("cand"), "sim"
-    ).unionByName(
-        pairs.select(F.col("b").alias("q"), F.col("a").alias("cand"), "sim")
-    )
+    scored = scored_candidates(emb, emb.where(F.col("vec_id") % 50 == 0))
     w = Window.partitionBy("q").orderBy(F.desc("sim"), F.asc("cand"))
     return (
-        scored.where(F.col("q") % 50 == 0)
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOPK_K)
         .select("q", "cand", "sim", "rank")
     )
