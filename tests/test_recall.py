@@ -111,6 +111,37 @@ def test_connected_components_basic(spark):
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9, 42: 42}
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_connected_components_matches_union_find(spark, seed):
+    """Random graphs: large-star/small-star must agree with a driver-side
+    union-find oracle on min-id component labels."""
+    from libchunk_spark.oracle import UnionFind
+
+    rng = np.random.default_rng(seed)
+    n = 120
+    m = int(rng.integers(40, 200))
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, n, size=(m, 2))
+        if a != b
+    ]
+    uf = UnionFind(list(range(n)))
+    for a, b in edges:
+        uf.union(a, b)
+    roots: dict[int, int] = {}
+    want = {}
+    for i in range(n):
+        r = uf.find(i)
+        roots.setdefault(r, i)  # ids ascend, so first-seen == min id
+        want[i] = roots[r]
+
+    edf = spark.createDataFrame(edges or [(0, 0)], "a long, b long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "file_id long")
+    comp = connected_components(edf, all_nodes=nodes)
+    got = {r["file_id"]: r["component"] for r in comp.collect()}
+    assert got == want
+
+
 def test_connected_components_chain_converges(spark):
     """Long path graph — worst case for naive propagation."""
     n = 200

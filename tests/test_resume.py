@@ -66,6 +66,21 @@ def test_config_change_invalidates_checkpoints(spark, corpus, tmp_path_factory):
     assert r2.stages_run  # stale-fingerprint checkpoints recomputed
 
 
+def test_pipeline_empty_corpus(spark, tmp_path_factory):
+    """A corpus partition with zero files (e.g. after a lang filter) must
+    flow through every stage without error and yield empty outputs."""
+    root = str(tmp_path_factory.mktemp("ckpt_empty"))
+    empty = spark.createDataFrame(
+        [],
+        "file_id long, repo string, path string, commit string, "
+        "lang string, content string",
+    )
+    r = run_pipeline(empty, CFG, StageCatalog(root=root), with_containment=True)
+    assert r.components.count() == 0
+    assert r.chunk_index.count() == 0
+    assert r.edges.count() == 0
+
+
 def _iceberg_jar_present() -> bool:
     import glob
 
