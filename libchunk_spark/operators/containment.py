@@ -126,6 +126,11 @@ def verify_containment(candidates: DataFrame, corpus: DataFrame) -> DataFrame:
         .join(texts.select(F.col("file_id").alias("a"), F.col("content").alias("ca")), "a")
         .join(texts.select(F.col("file_id").alias("b"), F.col("content").alias("cb")), "b")
         .withColumn("bucket", F.pmod(F.xxhash64("a", "b"), F.lit(64)))
+        # explicit partition count: AQE coalesces shuffles by BYTES, which
+        # starves the CPU-bound suffix-array UDF of parallelism (a few MB of
+        # candidate text is hours of work at scale); a user-specified number
+        # is exempt from AQE coalescing
+        .repartition(64, "bucket")
     )
 
     def check(pdf: pd.DataFrame) -> pd.DataFrame:

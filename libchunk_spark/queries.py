@@ -777,7 +777,11 @@ def _containment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("file_id") + 100000).alias("file_id"),
         F.concat_ws(" ", "content", F.reverse("content")).alias("content"),
     )
-    return base.unionByName(comp)
+    # explicit width: the groupBy's AQE-coalesced output (2 partitions for a
+    # few MB) would starve the chunker UDF downstream; fixed counts are
+    # exempt from AQE coalescing
+    par = spark.sparkContext.defaultParallelism
+    return base.unionByName(comp).repartition(par, "file_id")
 
 
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
