@@ -235,7 +235,9 @@ def ivf_pairs(
         return pd.DataFrame({"a": ids[li], "b": ids[ri], "sim": sims[li, ri]})
 
     return (
-        assigned.repartition("cell")
+        # explicit count: AQE would coalesce this small-bytes shuffle and
+        # serialize the CPU-bound per-cell matmuls
+        assigned.repartition(n_cells, "cell")
         .groupBy("cell")
         .applyInPandas(per_cell, "a long, b long, sim double")
         .dropDuplicates(["a", "b"])
