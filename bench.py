@@ -66,6 +66,8 @@ def main() -> None:
         "ngram_jaccard_pairs",
         "components",
         "cosine_pairs",
+        "ann_signlsh",
+        "topk_similar",
         "containment_pairs",
         "chunk_stats",
     ]
