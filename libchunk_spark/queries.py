@@ -626,6 +626,63 @@ GROUP BY v.vec_id
 """
 
 
+def q_crossmodal_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup triage: per doc, does the TEXT signal (MinHash-LSH
+    candidate pair) and/or the EMBEDDING signal (cosine pair over the
+    aligned vec_id) flag it as a near-dup — and do both agree?
+
+    Multi-signal consensus is how production dedup pipelines suppress
+    single-modality false positives; here both signals are exact/bounded so
+    the DuckDB oracle is byte-equal. vec_id is 1:1 with doc_id in the driver
+    tables.
+    """
+    from libchunk_spark.operators.similarity import brute_force_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    tp = q_lsh_band_pairs(spark, sf_dir)
+    text_ids = (
+        tp.select(F.col("a").alias("doc_id"))
+        .unionByName(tp.select(F.col("b").alias("doc_id")))
+        .distinct()
+        .withColumn("text_dup", F.lit(True))
+    )
+    ep = brute_force_pairs(_emb(spark, sf_dir), COSINE_THRESHOLD)
+    emb_ids = (
+        ep.select(F.col("a").alias("doc_id"))
+        .unionByName(ep.select(F.col("b").alias("doc_id")))
+        .distinct()
+        .withColumn("emb_dup", F.lit(True))
+    )
+    return (
+        docs.join(F.broadcast(text_ids), "doc_id", "left")
+        .join(F.broadcast(emb_ids), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_dup", F.lit(False)).alias("text_dup"),
+            F.coalesce("emb_dup", F.lit(False)).alias("emb_dup"),
+        )
+        .withColumn("consensus", F.col("text_dup") & F.col("emb_dup"))
+    )
+
+
+SQL_CROSSMODAL_DUP_FLAGS = f"""
+WITH lsh AS ({SQL_LSH_BAND_PAIRS}),
+text_ids AS (SELECT a AS doc_id FROM lsh UNION SELECT b FROM lsh),
+emb AS (
+  SELECT l.vec_id AS a, r.vec_id AS b
+  FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+  WHERE round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 4) >= {COSINE_THRESHOLD}
+),
+emb_ids AS (SELECT a AS doc_id FROM emb UNION SELECT b FROM emb)
+SELECT d.doc_id,
+       d.doc_id IN (SELECT doc_id FROM text_ids) AS text_dup,
+       d.doc_id IN (SELECT doc_id FROM emb_ids) AS emb_dup,
+       d.doc_id IN (SELECT doc_id FROM text_ids)
+       AND d.doc_id IN (SELECT doc_id FROM emb_ids) AS consensus
+FROM documents d
+"""
+
+
 TOPK_K = 3
 
 
@@ -1037,6 +1094,7 @@ QUERIES = {
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),  # recall-floor contract vs exact set
     "emb_dedup_verdicts": (q_emb_dedup_verdicts, SQL_EMB_DEDUP_VERDICTS),
     "topk_similar": (q_topk_similar, SQL_TOPK_SIMILAR),
+    "crossmodal_dup_flags": (q_crossmodal_dup_flags, SQL_CROSSMODAL_DUP_FLAGS),
     "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "chunk_stats": (q_chunk_stats, None),  # chunker: not SQL-expressible
     "dedup_ratio": (q_dedup_ratio, None),  # chunker: not SQL-expressible
