@@ -115,6 +115,29 @@ def window_tables(pol: int, window: int = WINDOW_SIZE) -> np.ndarray:
     return t
 
 
+@lru_cache(maxsize=16)
+def paired_window_tables(
+    pol: int, window: int = WINDOW_SIZE, bits: int = 16
+) -> np.ndarray:
+    """Byte-PAIR contribution tables, shape (window//2, 65536).
+
+    T2[j][b1*256 + b2] = T[2j][b1] ^ T[2j+1][b2] — one gather covers two
+    window bytes, halving the hot loop's take count. Each 65536-entry table
+    (128 KiB at uint16) streams through one np.take call at a time, so the
+    working set per gather stays L2-resident; truncation to the low `bits`
+    commutes with XOR, so narrow paired tables test the splitmask exactly
+    like the narrow single-byte tables.
+    """
+    t = window_tables(pol, window)
+    if bits == 16:
+        t = t.astype(np.uint16)
+    elif bits == 32:
+        t = t.astype(np.uint32)
+    return (t[0::2][:, :, None] ^ t[1::2][:, None, :]).reshape(
+        window // 2, 65536
+    )
+
+
 def partial_digest(pol: int, hashed: bytes, window: int = WINDOW_SIZE) -> int:
     """Digest state after hashing < window bytes from a fresh chunker reset.
 

@@ -28,6 +28,7 @@ import numpy as np
 from .gf2 import (
     DEFAULT_POL,
     WINDOW_SIZE,
+    paired_window_tables,
     partial_digest,
     window_tables,
     window_tables16,
@@ -107,6 +108,39 @@ def _scan_tables(cfg: ChunkerConfig) -> tuple[np.ndarray, np.dtype]:
     return window_tables(cfg.pol, cfg.window), np.uint64
 
 
+def _paired_scan_tables(cfg: ChunkerConfig) -> tuple[np.ndarray, np.dtype]:
+    """Byte-paired narrow tables: halves the gather count of the hot scan
+    (32 takes per block instead of 64); requires an even window."""
+    bits = 16 if cfg.avg_bits <= 16 else (32 if cfg.avg_bits <= 32 else 64)
+    t2 = paired_window_tables(cfg.pol, cfg.window, bits)
+    return t2, t2.dtype.type
+
+
+def _block_hits_paired(
+    t2: np.ndarray,
+    ib: np.ndarray,
+    m: int,
+    a: np.ndarray,
+    tm: np.ndarray,
+    pib: np.ndarray,
+    mask,
+) -> np.ndarray:
+    """Splitmask-hit offsets within one block via byte-paired gathers.
+
+    ib holds the block's m + window - 1 bytes as intp; pair index
+    pib[x] = ib[x]*256 + ib[x+1]; pair j of the window gathers t2[j] at
+    pib[2j : 2j + m]."""
+    npairs = t2.shape[0]
+    pb = pib[: m + 2 * npairs - 2]
+    np.multiply(ib[: pb.shape[0]], 256, out=pb)
+    pb += ib[1 : pb.shape[0] + 1]
+    np.take(t2[0], pb[:m], out=a, mode="clip")
+    for j in range(1, npairs):
+        np.take(t2[j], pb[2 * j : 2 * j + m], out=tm, mode="clip")
+        a ^= tm
+    return np.nonzero((a & mask) == 0)[0]
+
+
 def _first_candidate(
     data: np.ndarray,
     lo: int,
@@ -124,14 +158,19 @@ def _first_candidate(
     or (-1, 0). Positions before
     ``lo`` (the min_size pre-skip, chunker.go:140) are never evaluated.
     """
-    t, dt = _scan_tables(cfg)
     w = cfg.window
+    paired = w % 2 == 0
+    if paired:
+        t, dt = _paired_scan_tables(cfg)
+    else:
+        t, dt = _scan_tables(cfg)
     mask = t.dtype.type(cfg.splitmask)
     block = acc.shape[0]
     # np.take converts non-intp index arrays on EVERY call; one up-front
-    # uint8->intp copy per block replaces 64 hidden conversions (+30% solo,
-    # and much less allocator/cache churn under many-core contention)
+    # uint8->intp copy per block replaces the hidden per-take conversions
+    # (+30% solo, and much less allocator/cache churn under contention)
     idxbuf = np.empty(block + w - 1, dtype=np.intp)
+    pib = np.empty(block + w - 2, dtype=np.intp) if paired else None
     p = lo
     while p <= limit:
         m = min(block, limit - p + 1)
@@ -140,11 +179,14 @@ def _first_candidate(
         base = p - (w - 1)  # window start for position p
         ib = idxbuf[: m + w - 1]
         np.copyto(ib, data[base : base + m + w - 1])
-        np.take(t[0], ib[:m], out=a, mode="clip")
-        for j in range(1, w):
-            np.take(t[j], ib[j : j + m], out=tm, mode="clip")
-            a ^= tm
-        hits = np.nonzero((a & mask) == 0)[0]
+        if paired:
+            hits = _block_hits_paired(t, ib, m, a, tm, pib, mask)
+        else:
+            np.take(t[0], ib[:m], out=a, mode="clip")
+            for j in range(1, w):
+                np.take(t[j], ib[j : j + m], out=tm, mode="clip")
+                a ^= tm
+            hits = np.nonzero((a & mask) == 0)[0]
         if hits.size:
             h = int(hits[0])
             q = p + h
@@ -184,9 +226,13 @@ def _scan_all(arr: np.ndarray, cfg: ChunkerConfig) -> np.ndarray:
     windows yield garbage digests at positions the per-row candidate ranges
     never consult).
     """
-    t, dt = _scan_tables(cfg)
     n = arr.shape[0]
     w = cfg.window
+    paired = w % 2 == 0
+    if paired:
+        t, dt = _paired_scan_tables(cfg)
+    else:
+        t, dt = _scan_tables(cfg)
     mask = t.dtype.type(cfg.splitmask)
     if n < w:
         return np.empty(0, dtype=np.int64)
@@ -195,6 +241,7 @@ def _scan_all(arr: np.ndarray, cfg: ChunkerConfig) -> np.ndarray:
     acc = np.empty(block, dtype=dt)
     tmp = np.empty(block, dtype=dt)
     idxbuf = np.empty(block + w - 1, dtype=np.intp)  # see _first_candidate
+    pib = np.empty(block + w - 2, dtype=np.intp) if paired else None
     pos_parts: list[np.ndarray] = []
     for p0 in range(0, total, block):
         m = min(block, total - p0)
@@ -202,11 +249,14 @@ def _scan_all(arr: np.ndarray, cfg: ChunkerConfig) -> np.ndarray:
         tm = tmp[:m]
         ib = idxbuf[: m + w - 1]
         np.copyto(ib, arr[p0 : p0 + m + w - 1])
-        np.take(t[0], ib[:m], out=a, mode="clip")
-        for j in range(1, w):
-            np.take(t[j], ib[j : j + m], out=tm, mode="clip")
-            a ^= tm
-        hits = np.nonzero((a & mask) == 0)[0]
+        if paired:
+            hits = _block_hits_paired(t, ib, m, a, tm, pib, mask)
+        else:
+            np.take(t[0], ib[:m], out=a, mode="clip")
+            for j in range(1, w):
+                np.take(t[j], ib[j : j + m], out=tm, mode="clip")
+                a ^= tm
+            hits = np.nonzero((a & mask) == 0)[0]
         if hits.size:
             pos_parts.append(hits + (p0 + w - 1))
     if not pos_parts:

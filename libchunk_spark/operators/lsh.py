@@ -122,7 +122,10 @@ def simhash_candidate_edges(
     `observation` to count degraded rows (`oversized_rows` /
     `oversized_blocks` metrics recorded when the returned plan executes).
     NB: a pyspark Observation is single-action — don't pass one when the
-    result feeds a multi-action consumer like the components loop.
+    result feeds a multi-action consumer like the components loop. Also,
+    when the oversized branch is EMPTY, AQE's empty-relation propagation can
+    eliminate the CollectMetrics node entirely and Observation.get has
+    nothing to read — treat a missing metric as zero degradation.
     """
     sig = cfg.signature
     radius = sig.simhash_blocks - 1 if radius is None else radius

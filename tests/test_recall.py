@@ -162,10 +162,16 @@ def test_star_edges_preserve_connectivity(spark):
     star = minhash_candidate_edges(sigs, CFG, mode="star")
     allp = minhash_candidate_edges(sigs, CFG, mode="allpairs")
     # the Observation is single-action: attach it to a dedicated instance
-    # (the CC loop below runs many actions, which an Observation rejects)
+    # (the CC loop below runs many actions, which an Observation rejects).
+    # Use a tiny cap so oversized buckets EXIST — when the observed branch
+    # is empty, AQE's empty-relation propagation can eliminate the
+    # CollectMetrics node and obs.get has nothing to read.
+    import dataclasses
+
     obs = Observation("minhash_allpairs")
-    minhash_candidate_edges(sigs, CFG, mode="allpairs", observation=obs).count()
-    assert obs.get["oversized_rows"] >= 0  # metric recorded (0 when no skew)
+    tiny = dataclasses.replace(CFG, bucket_pair_cap=2)
+    minhash_candidate_edges(sigs, tiny, mode="allpairs", observation=obs).count()
+    assert obs.get["oversized_rows"] > 0
     c1 = connected_components(star, all_nodes=corpus.select("file_id"))
     c2 = connected_components(allp, all_nodes=corpus.select("file_id"))
     assert c1.exceptAll(c2).count() == 0 and c2.exceptAll(c1).count() == 0
