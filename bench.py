@@ -23,7 +23,9 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_bench_files = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "20000"))
+    # 60k files (~350 MB): big enough that the paired-table kernel's
+    # sustained rate dominates fixed stage overheads in the throughput number
+    n_bench_files = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "60000"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from pyspark.sql import functions as F
