@@ -272,12 +272,12 @@ both levels are taskset-pinned to exactly their core count.
 
 ## Executor-size sensitivity (separate observation, BENCH/FLEET.md)
 
-Fleet mode (machine saturated at both levels, disjoint pins) shows 4-core
-local masters sustain ~2x the per-core pipeline throughput of 16-core ones
-under identical contention — standard Spark guidance (small executors for
-Python-UDF-heavy work) reproduced by measurement. The production deployment
-should use many 4-8 core executors; the N-vs-4N criterion above scales the
-NUMBER of such executors, which is what this file evidences.
+Fleet mode (machine saturated at both node sizes, disjoint pins) shows the
+per-core ranking of 4- vs 16-core masters is kernel-dependent and inside
+host noise with the current paired-table kernel — executor size in the
+4-16 core range is not a first-order factor (details + history in
+BENCH/FLEET.md). The N-vs-4N criterion above scales the NUMBER of
+fixed-size executors, which is what this file evidences.
 
 Reproduce: `python jobs/kernel_contention.py && python jobs/scaling_bench.py --files {n_files} --n {n} --repeats 3`
 """
