@@ -134,19 +134,23 @@ def main() -> None:
 
     best = {k: min(r[k] for r in runs) for k in runs[0]}
     chunk_sign_sec = best["pipeline_chunk_sign"]
-    total = round(sum(best.values()), 3)
     totals = [round(sum(r.values()), 3) for r in runs]
+    # headline = median of whole-run totals (a total some run actually
+    # achieved); the per-query best-of-N breakdown stays as secondary data
+    # for round-over-round comparison under ±25% host noise.
+    median_total = round(statistics.median(totals), 3)
     out = {
-        "metric": "headline_total_sec",
-        "value": total,
+        "metric": "median_total_sec",
+        "value": median_total,
         "unit": "sec",
         "queries": best,
         "sf": sf,
         "cpus": cpus,
         "runs": repeats,
-        "stat": "best_of_n_per_query",
+        "stat": "median_of_run_totals",
+        "queries_stat": "best_of_n_per_query",
         "run_totals": totals,
-        "median_total": round(statistics.median(totals), 3),
+        "best_total": round(sum(best.values()), 3),
         "bench_files": n_bench_files,
         "bench_mb": round(total_bytes / 1e6, 1),
         "files_per_sec_chunk_sign": round(n_bench_files / chunk_sign_sec, 1),

@@ -121,16 +121,20 @@ def verify_containment(candidates: DataFrame, corpus: DataFrame) -> DataFrame:
     with `container` = file_id of the embedding side.
     """
     texts = corpus.select("file_id", "content")
+    # bucket count follows the cluster (>= cores, never < 64): a hardcoded
+    # width would cap the CPU-bound suffix-array stage at that many tasks on
+    # a 1000-executor cluster
+    n_buckets = max(64, candidates.sparkSession.sparkContext.defaultParallelism)
     paired = (
         candidates.select("a", "b")
         .join(texts.select(F.col("file_id").alias("a"), F.col("content").alias("ca")), "a")
         .join(texts.select(F.col("file_id").alias("b"), F.col("content").alias("cb")), "b")
-        .withColumn("bucket", F.pmod(F.xxhash64("a", "b"), F.lit(64)))
+        .withColumn("bucket", F.pmod(F.xxhash64("a", "b"), F.lit(n_buckets)))
         # explicit partition count: AQE coalesces shuffles by BYTES, which
         # starves the CPU-bound suffix-array UDF of parallelism (a few MB of
         # candidate text is hours of work at scale); a user-specified number
         # is exempt from AQE coalescing
-        .repartition(64, "bucket")
+        .repartition(n_buckets, "bucket")
     )
 
     def check(pdf: pd.DataFrame) -> pd.DataFrame:

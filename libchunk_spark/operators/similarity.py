@@ -28,6 +28,15 @@ from pyspark.sql import functions as F
 BRUTE_FORCE_MAX_ROWS = 200_000
 
 
+def _round4(x: np.ndarray) -> np.ndarray:
+    """Round half away from zero to 4 places — matches DuckDB round() and
+    Spark's F.round (both HALF_UP/away-from-zero). np.round is banker's
+    rounding, which flips threshold/rank decisions on exact .00005
+    boundaries vs the SQL oracles; every sim emitted to a driver-checked
+    query must use this instead."""
+    return np.copysign(np.floor(np.abs(x) * 1e4 + 0.5) / 1e4, x)
+
+
 def _collect_matrix(
     emb: DataFrame, max_rows: int = BRUTE_FORCE_MAX_ROWS
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -63,7 +72,7 @@ def brute_force_pairs(
                 continue
             v = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
             vn = np.sqrt((v * v).sum(axis=1))
-            sims = np.round((v @ b_mat.T) / np.outer(vn, b_norms), 4)
+            sims = _round4((v @ b_mat.T) / np.outer(vn, b_norms))
             a_ids = pdf["vec_id"].to_numpy()
             li, ri = np.nonzero(
                 (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
@@ -99,7 +108,7 @@ def scored_candidates(
                 continue
             v = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
             vn = np.sqrt((v * v).sum(axis=1))
-            sims = np.round((v @ b_mat.T) / np.outer(vn, b_norms), 4)
+            sims = _round4((v @ b_mat.T) / np.outer(vn, b_norms))
             q_ids = pdf["vec_id"].to_numpy()
             li, ri = np.nonzero(q_ids[:, None] != b_ids[None, :])  # no self
             yield pd.DataFrame(
@@ -108,6 +117,158 @@ def scored_candidates(
 
     return queries.select("vec_id", "embedding").mapInPandas(
         block, "q long, cand long, sim double"
+    )
+
+
+def signlsh_buckets(
+    emb: DataFrame, n_bits: int = 8, n_tables: int = 1, seed: int = 11
+) -> DataFrame:
+    """(tbl, bucket, vec_id, v) sign-LSH bucket rows.
+
+    Table 0's bucket is the sign pattern of the first `n_bits` raw dims —
+    JVM-only and SQL-portable (the driver oracle shares the formula). Tables
+    1..n_tables-1 hash against seeded random Gaussian hyperplanes (one
+    vectorized matmul in mapInPandas), multiplying recall the way multiple
+    LSH tables always do: a pair missed by one table's split is recovered by
+    another.
+    """
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    rows = base.select(
+        F.lit(0).alias("tbl"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.slice(F.col("v"), 1, n_bits),
+                lambda x: F.when(x >= 0, "1").otherwise("0"),
+            ),
+        ).alias("bucket"),
+        "vec_id",
+        "v",
+    )
+    if n_tables <= 1:
+        return rows
+
+    def hyper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["v"].map(np.asarray)).astype(np.float64)
+            if planes is None:  # (n_tables-1, n_bits, dim), seeded → identical
+                rng = np.random.default_rng(seed)  # on every executor
+                planes = rng.standard_normal((n_tables - 1, n_bits, v.shape[1]))
+            out = []
+            for t in range(n_tables - 1):
+                bits = (v @ planes[t].T) >= 0  # (rows, n_bits) bools
+                sig = np.array(
+                    ["".join("1" if b else "0" for b in row) for row in bits]
+                )
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "tbl": t + 1,
+                            "bucket": sig,
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "v": pdf["v"].to_numpy(),
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    extra = base.mapInPandas(
+        hyper, "tbl int, bucket string, vec_id long, v array<double>"
+    )
+    return rows.unionByName(extra)
+
+
+def signlsh_pairs(
+    emb: DataFrame,
+    threshold: float,
+    n_bits: int = 8,
+    n_tables: int = 1,
+    bucket_cap: int = 1024,
+    seed: int = 11,
+    observation=None,
+) -> DataFrame:
+    """Bounded sign-LSH ANN pairs (a, b, sim), a < b, exact-cosine verified.
+
+    The intra-bucket self-join is gated by a bucket-size count: buckets
+    <= `bucket_cap` emit all pairs; oversized buckets degrade to
+    connectivity-preserving star edges around the bucket's min vec_id
+    (linear in bucket size) — the same cap+star+observe policy as
+    operators/lsh.py's band buckets, closing the Θ(n²/2^n_bits) worst case
+    real embeddings hit when sign patterns concentrate. Pass a
+    ``pyspark.sql.Observation`` to record `oversized_rows` /
+    `oversized_blocks` when the plan executes (a missing metric under AQE
+    empty-relation propagation means zero degradation). Every surviving
+    candidate is verified with exact cosine >= threshold JVM-side.
+
+    Reference analog: bits.Move's bounded remote probe (bits/move.go:84-88)
+    — never enumerate an unbounded set when an index tells you it is hot.
+    """
+    rows = signlsh_buckets(emb, n_bits, n_tables, seed).repartition(
+        "tbl", "bucket"
+    )
+    sized = rows.join(
+        rows.groupBy("tbl", "bucket").agg(F.count("*").alias("sz")),
+        ["tbl", "bucket"],
+    )
+    small = sized.where(F.col("sz") <= bucket_cap).drop("sz")
+    big = sized.where(F.col("sz") > bucket_cap).drop("sz")
+    if observation is not None:
+        big = big.observe(
+            observation,
+            F.count(F.lit(1)).alias("oversized_rows"),
+            F.approx_count_distinct(
+                F.concat_ws(":", "tbl", "bucket")
+            ).alias("oversized_blocks"),
+        )
+    l, r = small.alias("l"), small.alias("r")
+    pair_cand = (
+        l.join(r, ["tbl", "bucket"])
+        .where(F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(
+            F.col("l.vec_id").alias("a"),
+            F.col("r.vec_id").alias("b"),
+            F.col("l.v").alias("va"),
+            F.col("r.v").alias("vb"),
+        )
+    )
+    # star degrade: rep = min vec_id (so a < b holds); min(struct) carries
+    # the rep's vector through one partial-agg-friendly groupBy
+    big_reps = big.groupBy("tbl", "bucket").agg(
+        F.min(F.struct("vec_id", "v")).alias("rep")
+    )
+    star_cand = (
+        big.join(big_reps, ["tbl", "bucket"])
+        .where(F.col("vec_id") != F.col("rep.vec_id"))
+        .select(
+            F.col("rep.vec_id").alias("a"),
+            F.col("vec_id").alias("b"),
+            F.col("rep.v").alias("va"),
+            F.col("v").alias("vb"),
+        )
+    )
+    cand = pair_cand.unionByName(star_cand).dropDuplicates(["a", "b"])
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        cand.select(
+            "a",
+            "b",
+            F.round(
+                dot / (norm(F.col("va")) * norm(F.col("vb"))), 4
+            ).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
     )
 
 
@@ -131,7 +292,10 @@ def train_centroids(
     else:
         sample = emb
     sample = sample.select("vec_id", "embedding")
-    ids, mat = _collect_matrix(sample)
+    # mod = total//want truncates, so the hash-mod sample yields between
+    # `want` and ~2*want rows — size the collect gate to the sample, not to
+    # BRUTE_FORCE_MAX_ROWS (large n_cells would otherwise refuse to train)
+    ids, mat = _collect_matrix(sample, max_rows=max(want * 2, 1024))
     rng = np.random.default_rng(seed)
     centroids = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
 
@@ -229,7 +393,7 @@ def ivf_pairs(
             )
         v = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
         n = np.sqrt((v * v).sum(axis=1)) + 1e-12
-        sims = np.round((v @ v.T) / np.outer(n, n), 4)
+        sims = _round4((v @ v.T) / np.outer(n, n))
         ids = pdf["vec_id"].to_numpy()
         li, ri = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
         return pd.DataFrame({"a": ids[li], "b": ids[ri], "sim": sims[li, ri]})
@@ -241,4 +405,82 @@ def ivf_pairs(
         .groupBy("cell")
         .applyInPandas(per_cell, "a long, b long, sim double")
         .dropDuplicates(["a", "b"])
+    )
+
+
+def topk_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    iters: int = 4,
+    seed: int = 7,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF-probed top-k retrieval: (q, cand, sim, rank), rank <= k.
+
+    The scale path `scored_candidates` only promises in prose: candidates
+    are IVF-pruned, never the whole table. Index vectors are assigned to
+    their single nearest centroid cell; each query probes its `nprobe`
+    nearest cells; per-cell top-k runs as a vectorized argsort inside
+    applyInPandas (candidates sorted by vec_id + stable argsort on -sim ==
+    (sim desc, cand asc) tie order); a global row_number re-rank merges the
+    per-cell winners. Cost per query is the probed cells' occupancy
+    (~ nprobe/n_cells of brute force); nothing driver-side ever holds more
+    than the (n_cells, dim) centroid matrix.
+
+    Contract: same rank semantics as queries.q_topk_similar (sim desc,
+    vec_id asc); recall vs the exact ranking is driver-checked by
+    queries.q_topk_ivf with a floor, like q_ann_ivf.
+    """
+    from pyspark.sql import Window
+
+    centroids = train_centroids(emb, n_cells, iters, seed)
+    cands = ivf_assign(emb, centroids, nprobe=1).withColumn(
+        "is_query", F.lit(False)
+    )
+    probes = ivf_assign(queries, centroids, nprobe=nprobe).withColumn(
+        "is_query", F.lit(True)
+    )
+    both = cands.unionByName(probes)
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(columns=["q", "cand", "sim"]).astype(
+            {"q": "int64", "cand": "int64", "sim": "float64"}
+        )
+        qs = pdf[pdf["is_query"]]
+        cs = pdf[~pdf["is_query"]].sort_values("vec_id")
+        if not len(qs) or not len(cs):
+            return empty
+        qm = np.stack(qs["embedding"].map(np.asarray)).astype(np.float64)
+        cm = np.stack(cs["embedding"].map(np.asarray)).astype(np.float64)
+        qn = np.sqrt((qm * qm).sum(axis=1)) + 1e-12
+        cn = np.sqrt((cm * cm).sum(axis=1)) + 1e-12
+        sims = _round4((qm @ cm.T) / np.outer(qn, cn))
+        q_ids = qs["vec_id"].to_numpy()
+        c_ids = cs["vec_id"].to_numpy()
+        sims[q_ids[:, None] == c_ids[None, :]] = -np.inf  # no self
+        # candidates are vec_id-sorted, so a STABLE argsort on -sim breaks
+        # ties by cand asc — the exact (sim desc, cand asc) rank order
+        kk = min(k, sims.shape[1])
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        qi = np.repeat(np.arange(len(q_ids)), kk)
+        ci = top.ravel()
+        keep = np.isfinite(sims[qi, ci])
+        return pd.DataFrame(
+            {"q": q_ids[qi[keep]], "cand": c_ids[ci[keep]], "sim": sims[qi, ci][keep]}
+        )
+
+    scored = (
+        # explicit width: AQE's byte-based coalescing would serialize the
+        # CPU-bound per-cell matmuls
+        both.repartition(n_cells, "cell")
+        .groupBy("cell")
+        .applyInPandas(per_cell, "q long, cand long, sim double")
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("sim"), F.asc("cand"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q", "cand", "sim", "rank")
     )

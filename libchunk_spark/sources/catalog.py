@@ -30,6 +30,16 @@ from pyspark.sql import functions as F
 MANIFEST = "_manifest.json"
 
 
+def merge_insert_sql(table: str, source_view: str, key_cols: list[str]) -> str:
+    """The Iceberg idempotent-append MERGE statement (pure construction so
+    the only jar-gated thing is execution, not the code path's logic)."""
+    cond = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+    return (
+        f"MERGE INTO {table} t USING {source_view} s ON {cond} "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
 def config_fingerprint(obj: Any) -> str:
     """Stable fingerprint of a (nested) config object — the 'secret scope'
     that keys dedup identity (bits/secret.go:12-31 analog)."""
@@ -149,6 +159,10 @@ class StageCatalog:
         Re-merging the same batch is a no-op on both paths.
         """
         spark = df.sparkSession
+        # intra-batch key uniqueness on EVERY path: MERGE's WHEN NOT MATCHED
+        # and the left-anti append both admit two same-key rows from one
+        # batch; only the first-write path deduped before this line.
+        df = df.dropDuplicates(key_cols)
         if self.iceberg_catalog:
             tbl = f"{self.iceberg_catalog}.{stage}"
             if not spark.catalog.tableExists(tbl):
@@ -156,11 +170,7 @@ class StageCatalog:
             else:
                 view = f"_merge_src_{stage}"
                 df.createOrReplaceTempView(view)
-                cond = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
-                spark.sql(
-                    f"MERGE INTO {tbl} t USING {view} s ON {cond} "
-                    "WHEN NOT MATCHED THEN INSERT *"
-                )
+                spark.sql(merge_insert_sql(tbl, view, key_cols))
             return self.read_stage(spark, stage)
 
         path = self._dir(stage)
@@ -170,7 +180,7 @@ class StageCatalog:
             new_rows = df.join(existing_keys, key_cols, "left_anti")
             new_rows.write.mode("append").parquet(path)
         else:
-            df.dropDuplicates(key_cols).write.mode("overwrite").parquet(path)
+            df.write.mode("overwrite").parquet(path)
         out = self.read_stage(spark, stage)
         manifest = {
             "stage": stage,

@@ -2,23 +2,34 @@
 
 The batch twin is queries.q_event_sessions (lag + running-sum windows); this
 operator carries the per-user session state ACROSS micro-batches instead:
-state = (last event epoch, current session index, events-in-session,
-first event id). Each batch emits the cumulative row for every session it
-touched, so the sink (append parquet via foreachBatch) holds a history of
-updates and the latest row per (user_id, session_idx) equals the batch
-answer — verified in tests against q_event_sessions on a chronologically
-split replay.
+state = (last finalized epoch, current session index, events-in-session,
+first event id, high-water epoch, bounded reorder buffer). Each batch emits
+the cumulative row for every session it touched, so the sink (append parquet
+via foreachBatch) holds a history of updates and the latest row per
+(user_id, session_idx) equals the batch answer — verified in tests against
+q_event_sessions on both an ordered replay and a shuffled-within-lateness
+replay.
 
-Reference tie-in: this is the streaming generalization of the reference's
+Out-of-order tolerance (VERDICT r02 item 6): events are held in a bounded
+per-user reorder buffer until the user's event-time high-water mark passes
+``epoch + lateness_sec``; only then are they folded into sessions, in event-
+time order. An event arriving *later* than the lateness contract (its epoch
+below an already-finalized epoch) raises loudly — previously-emitted session
+rows would silently corrupt otherwise. Rows with ``event_id < 0`` are
+watermark heartbeats: they advance the high-water mark (flushing the buffer)
+without counting as events — the punctuation pattern production topics emit
+so the final lateness window drains at stream end.
+
+Reference tie-in: the streaming generalization of the reference's
 incremental chunker state machine (vendor/.../chunker.go:202-327 — bounded
 state carried across reads); here the bounded state is per-user session
-progress carried across micro-batches.
+progress plus at most `lateness window x per-user rate` buffered events.
 
 Scale notes: state is keyed by user_id → hash-shuffled, skew-free for
-bounded per-user event rates; the per-key state is O(1) (four scalars), so
-10^9 users is ~tens of GB of state across a cluster, well inside the HDFS-
-backed state store's envelope. The pandas body is vectorized (one
-np.cumsum per user-batch, no per-row Python).
+bounded per-user event rates; per-key state is O(rate x lateness) with a
+four-scalar floor, so 10^9 users stays inside the HDFS-backed state store's
+envelope. The pandas body is vectorized (one np.cumsum per user-batch, no
+per-row Python).
 """
 
 from __future__ import annotations
@@ -37,54 +48,107 @@ EVENTS_SCHEMA = (
 )
 
 _OUT_SCHEMA = "user_id long, session_idx long, n_events long, first_event long"
-_STATE_SCHEMA = "last_epoch long, session_idx long, n_events long, first_event long"
+_STATE_SCHEMA = (
+    "last_epoch long, session_idx long, n_events long, first_event long, "
+    "max_seen long, pend_epochs array<long>, pend_ids array<long>"
+)
 
 SESSION_GAP_SEC = 1800
+_NONE = -1  # sentinel: no finalized epoch yet (epochs are positive)
 
 
-def _sessionize_user(
-    key: Tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Fold one user's micro-batch into the session state, vectorized."""
-    (user_id,) = key
-    batch = pd.concat(list(pdfs))
-    if not len(batch):
-        return
-    epochs = (batch["ts"].astype("int64") // 10**9).to_numpy()
-    order = np.argsort(epochs, kind="stable")
-    epochs = epochs[order]
-    event_ids = batch["event_id"].to_numpy()[order]
+def _make_sessionizer(lateness_sec: int):
+    """Build the per-user fold with a fixed lateness window (closure —
+    applyInPandasWithState passes no extra args)."""
 
-    if state.exists:
-        last_epoch, session_idx, n_events, first_event = state.get
-    else:
-        last_epoch, session_idx, n_events, first_event = None, 0, 0, 0
+    def _sessionize_user(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        batch = pd.concat(list(pdfs))
+        if not len(batch):
+            return
+        epochs_all = (batch["ts"].astype("int64") // 10**9).to_numpy()
+        ids_all = batch["event_id"].to_numpy()
+        real = ids_all >= 0  # event_id < 0 = watermark heartbeat
 
-    # gap > SESSION_GAP_SEC starts a new session; the first gap compares
-    # against the cross-batch state rather than a same-batch neighbour
-    prev = np.empty_like(epochs)
-    prev[1:] = epochs[:-1]
-    prev[0] = last_epoch if last_epoch is not None else epochs[0]
-    new_session = (epochs - prev) > SESSION_GAP_SEC
-    sess_of_row = session_idx + np.cumsum(new_session)
-
-    rows = []
-    for s in np.unique(sess_of_row):
-        mask = sess_of_row == s
-        if s == session_idx and n_events > 0:
-            cnt = n_events + int(mask.sum())
-            first = min(first_event, int(event_ids[mask].min()))
+        if state.exists:
+            (last_epoch, session_idx, n_events, first_event,
+             max_seen, pend_epochs, pend_ids) = state.get
+            pend_epochs = np.asarray(pend_epochs, dtype=np.int64)
+            pend_ids = np.asarray(pend_ids, dtype=np.int64)
         else:
-            cnt = int(mask.sum())
-            first = int(event_ids[mask].min())
-        rows.append((user_id, int(s), cnt, first))
+            last_epoch, session_idx, n_events, first_event = _NONE, 0, 0, 0
+            max_seen = _NONE
+            pend_epochs = np.empty(0, dtype=np.int64)
+            pend_ids = np.empty(0, dtype=np.int64)
 
-    last_s = int(sess_of_row[-1])
-    last_row = rows[-1]
-    state.update((int(epochs[-1]), last_s, int(last_row[2]), int(last_row[3])))
-    yield pd.DataFrame(rows, columns=["user_id", "session_idx", "n_events", "first_event"])
+        max_seen = max(int(max_seen), int(epochs_all.max()))
+        pool_epochs = np.concatenate([pend_epochs, epochs_all[real]])
+        pool_ids = np.concatenate([pend_ids, ids_all[real]])
+        watermark = max_seen - lateness_sec
+
+        fin = pool_epochs <= watermark
+        if fin.any() and last_epoch != _NONE and int(pool_epochs[fin].min()) < last_epoch:
+            bad = int(pool_epochs[fin].min())
+            raise ValueError(
+                f"sessionize: user {user_id} event at epoch {bad} arrived "
+                f"after epoch {last_epoch} was finalized — late beyond the "
+                f"{lateness_sec}s lateness contract; emitted sessions would "
+                "corrupt silently. Increase lateness_sec or fix the source."
+            )
+
+        epochs = pool_epochs[fin]
+        event_ids = pool_ids[fin]
+        keep_epochs = pool_epochs[~fin]
+        keep_ids = pool_ids[~fin]
+        order_keep = np.argsort(keep_epochs, kind="stable")
+        keep_epochs, keep_ids = keep_epochs[order_keep], keep_ids[order_keep]
+
+        if not len(epochs):
+            state.update((
+                int(last_epoch), int(session_idx), int(n_events),
+                int(first_event), int(max_seen),
+                [int(x) for x in keep_epochs], [int(x) for x in keep_ids],
+            ))
+            return
+
+        order = np.argsort(epochs, kind="stable")
+        epochs, event_ids = epochs[order], event_ids[order]
+
+        # gap > SESSION_GAP_SEC starts a new session; the first gap compares
+        # against the cross-batch state rather than a same-batch neighbour
+        prev = np.empty_like(epochs)
+        prev[1:] = epochs[:-1]
+        prev[0] = last_epoch if last_epoch != _NONE else epochs[0]
+        new_session = (epochs - prev) > SESSION_GAP_SEC
+        sess_of_row = session_idx + np.cumsum(new_session)
+
+        rows = []
+        for s in np.unique(sess_of_row):
+            mask = sess_of_row == s
+            if s == session_idx and n_events > 0:
+                cnt = n_events + int(mask.sum())
+                first = min(first_event, int(event_ids[mask].min()))
+            else:
+                cnt = int(mask.sum())
+                first = int(event_ids[mask].min())
+            rows.append((user_id, int(s), cnt, first))
+
+        last_s = int(sess_of_row[-1])
+        last_row = rows[-1]
+        state.update((
+            int(epochs[-1]), last_s, int(last_row[2]), int(last_row[3]),
+            int(max_seen),
+            [int(x) for x in keep_epochs], [int(x) for x in keep_ids],
+        ))
+        yield pd.DataFrame(
+            rows, columns=["user_id", "session_idx", "n_events", "first_event"]
+        )
+
+    return _sessionize_user
 
 
 def sessionize_stream(
@@ -92,13 +156,18 @@ def sessionize_stream(
     source_dir: str,
     checkpoint_dir: str,
     out_path: str,
+    lateness_sec: int = 0,
 ):
     """Stream event files → per-user stateful sessionization → parquet of
     cumulative session updates (latest per (user_id, session_idx) = final).
 
-    Requires event-time-ordered arrival per user (e.g. chronologically
-    split replay files with maxFilesPerTrigger=1) — the same contract a
-    production deployment satisfies with watermark-ordered upstream topics.
+    lateness_sec = 0 (default) finalizes every event on arrival and raises
+    on any cross-batch event-time regression (ordered-arrival contract,
+    enforced loudly instead of corrupting silently). lateness_sec > 0
+    buffers each user's last `lateness_sec` of event time and tolerates
+    arbitrary reordering within it; send a final heartbeat row per user
+    (event_id < 0, ts >= max event ts + lateness) to drain the buffer at
+    stream end.
     """
     events = (
         spark.readStream.schema(EVENTS_SCHEMA)
@@ -109,7 +178,7 @@ def sessionize_stream(
         events.select("user_id", "ts", "event_id")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _sessionize_user,
+            _make_sessionizer(lateness_sec),
             outputStructType=_OUT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",

@@ -74,3 +74,17 @@ def test_verified_containment_is_true_substring(spark):
         small, large = sorted((r["a"], r["b"]), key=lambda f: len(content[f]))
         assert content[small] in content[large]
         assert r["container"] == large
+
+
+def test_driver_corpus_bases_chunk_enough(spark):
+    """ADVICE r02: q_containment_pairs' oracle equality assumes every base
+    yields >= 2 chunks under DOCS_CONFIG.chunk (a single-chunk base's only
+    key never recurs in its composite). Guard the corpus construction."""
+    from libchunk_spark.config import DOCS_CONFIG
+    from libchunk_spark.queries import _containment_corpus
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        corpus = _containment_corpus(spark, sf)
+        fk = split(corpus, DOCS_CONFIG.chunk, keep_payload=False).file_keys
+        low = fk.where("n_chunks < 2").count()
+        assert low == 0, f"{sf}: {low} corpus files with < 2 chunks"

@@ -145,3 +145,34 @@ def test_manifest_has_lineage_and_metrics(spark, corpus, tmp_path_factory):
     assert "cand_pairs" in m["inputs"]
     assert m["rows"] == 80
     assert m["partitions"] and all("rows" in p for p in m["partitions"])
+
+
+def test_merge_insert_sql_construction():
+    """Jar-free coverage of the MERGE branch's statement logic (execution
+    itself is gated on the Iceberg runtime jar, absent in this sandbox —
+    determination recorded in BASELINE.md)."""
+    from libchunk_spark.sources.catalog import merge_insert_sql
+
+    sql = merge_insert_sql("local.db.chunk_index", "_merge_src_chunk_index", ["k"])
+    assert sql == (
+        "MERGE INTO local.db.chunk_index t USING _merge_src_chunk_index s "
+        "ON t.k = s.k WHEN NOT MATCHED THEN INSERT *"
+    )
+    sql2 = merge_insert_sql("c.t", "v", ["a", "b"])
+    assert "ON t.a = s.a AND t.b = s.b" in sql2
+
+
+def test_merge_append_dedupes_within_batch(spark, tmp_path_factory):
+    """ADVICE r02: a single batch carrying two rows with the same key must
+    insert exactly one on BOTH the first-write and the append path."""
+    from libchunk_spark.sources.catalog import StageCatalog
+
+    root = str(tmp_path_factory.mktemp("merge_dup"))
+    cat = StageCatalog(root=root)
+    dup1 = spark.createDataFrame([("k1", 1), ("k1", 1)], "k string, v int")
+    out = cat.merge_append("idx", dup1, ["k"], "fp")
+    assert out.count() == 1
+    dup2 = spark.createDataFrame([("k2", 2), ("k2", 2)], "k string, v int")
+    out = cat.merge_append("idx", dup2, ["k"], "fp")
+    assert out.count() == 2
+    assert out.select("k").distinct().count() == 2

@@ -34,3 +34,130 @@ def test_ivf_deterministic(emb):
     a = sorted((r["a"], r["b"]) for r in ivf_pairs(emb, 0.3, n_cells=8).collect())
     b = sorted((r["a"], r["b"]) for r in ivf_pairs(emb, 0.3, n_cells=8).collect())
     assert a == b
+
+
+def test_signlsh_matches_brute_on_small_buckets(emb):
+    """With no bucket over the cap, signlsh output == the unbounded join."""
+    from libchunk_spark.operators.similarity import signlsh_pairs
+
+    pairs = signlsh_pairs(emb, 0.3, n_bits=8, n_tables=1, bucket_cap=4096)
+    got = sorted((r["a"], r["b"], r["sim"]) for r in pairs.collect())
+    assert got
+    exact = {(r["a"], r["b"]): r["sim"] for r in brute_force_pairs(emb, 0.3).collect()}
+    for a, b, sim in got:
+        assert a < b
+        assert sim >= 0.3
+        assert (a, b) in exact  # exact-cosine verified subset of brute
+
+
+def test_signlsh_hot_bucket_degrades_to_star(spark):
+    """VERDICT r02 #1: a planted hot bucket (all-positive sign prefix) must
+    yield LINEAR edge count (star degrade), observed — not Θ(n²/256)."""
+    import numpy as np
+    from pyspark.sql import Observation
+
+    from libchunk_spark.operators.similarity import signlsh_pairs
+
+    rng = np.random.default_rng(3)
+    n = 300
+    base = np.abs(rng.standard_normal(64)) + 0.5  # all dims positive
+    rows = []
+    for i in range(n):
+        v = base + 0.01 * rng.standard_normal(64)
+        rows.append((i, [float(x) for x in np.abs(v)]))
+    # one member of the hot bucket that is NOT similar to the rest: positive
+    # first-8 prefix (same bucket) but orthogonal-ish tail
+    far = np.full(64, 0.001)
+    far[:8] = 0.5
+    far[32:] = -base[32:] * 5
+    far[:8] = np.abs(far[:8])
+    rows.append((n, [float(x) for x in far]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    obs = Observation("signlsh_degrade")
+    pairs = signlsh_pairs(
+        emb, 0.3, n_bits=8, n_tables=1, bucket_cap=50, observation=obs
+    )
+    got = pairs.collect()
+    # linear: at most n edges (star around min vec_id), nowhere near n^2/2
+    assert 0 < len(got) <= n + 1
+    assert all(r["a"] == 0 for r in got)  # star rep = min vec_id
+    assert obs.get["oversized_rows"] >= n  # degradation observed, not silent
+    # the dissimilar member's star edge is cosine-filtered out
+    assert not any(r["b"] == n for r in got)
+
+
+def test_signlsh_multi_table_recall(spark):
+    """Multiple hyperplane tables recover near-dup pairs a single table's
+    split misses (the widen-for-recall half of VERDICT r02 #1)."""
+    import numpy as np
+
+    from libchunk_spark.operators.similarity import signlsh_pairs
+
+    rng = np.random.default_rng(11)
+    rows, planted = [], []
+    for i in range(100):
+        v = rng.standard_normal(64)
+        dup = v + 0.05 * rng.standard_normal(64)  # cosine ~0.999
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in dup]))
+        planted.append((2 * i, 2 * i + 1))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["a"], r["b"])
+        for r in signlsh_pairs(
+            emb, 0.9, n_bits=8, n_tables=6, bucket_cap=1024
+        ).collect()
+    }
+    recall = sum(p in got for p in planted) / len(planted)
+    assert recall >= 0.9, f"multi-table sign-LSH recall {recall:.2f}"
+
+
+def test_topk_ivf_matches_exact_ranking(spark, emb):
+    """VERDICT r02 #2: the IVF-probed top-k path must recover >=0.9 of the
+    exact (q, cand) hits with identical rank semantics — as code, not prose."""
+    from pyspark.sql import functions as F
+
+    from libchunk_spark.operators.similarity import scored_candidates, topk_ivf
+    from libchunk_spark.queries import TOPK_K
+
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    got = topk_ivf(emb, queries, k=TOPK_K, n_cells=8, nprobe=4).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["q"], []).append((r["rank"], r["sim"], r["cand"]))
+    for q, rows in per_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        sims = [r[1] for r in rows]
+        assert sims == sorted(sims, reverse=True)  # rank follows sim desc
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q").orderBy(F.desc("sim"), F.asc("cand"))
+    exact = {
+        (r["q"], r["cand"])
+        for r in scored_candidates(emb, queries)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK_K)
+        .collect()
+    }
+    hits = sum((r["q"], r["cand"]) in exact for r in got)
+    assert hits >= 0.9 * len(exact), f"topk_ivf recall {hits}/{len(exact)}"
+
+
+def test_emb_dedup_verdict_edge_sources_agree(spark, emb):
+    """VERDICT r02 #5: the 'swap ann edges in at 100 TB' claim, exercised —
+    IVF- and signlsh-edge verdicts must reach >=0.9 agreement with brute."""
+    from libchunk_spark.queries import q_emb_dedup_verdicts
+
+    SF = "/root/testdata/sf0.01"
+    brute = {r["vec_id"]: r["keep"] for r in q_emb_dedup_verdicts(spark, SF).collect()}
+    for source in ("ivf", "signlsh"):
+        alt = {
+            r["vec_id"]: r["keep"]
+            for r in q_emb_dedup_verdicts(spark, SF, edges=source).collect()
+        }
+        assert set(alt) == set(brute)
+        agree = sum(alt[v] == brute[v] for v in brute) / len(brute)
+        assert agree >= 0.9, f"{source} verdict agreement {agree:.3f}"

@@ -188,3 +188,117 @@ def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
     assert all(b >= max_bucket - 3 for b, _ in missing), missing
     closed = {k: v for k, v in want.items() if k[0] < max_bucket - 3}
     assert set(closed) <= set(got)
+
+
+def test_stateful_sessionization_out_of_order_within_lateness(spark, tmp_path):
+    """VERDICT r02 item 6: a replay shuffled arbitrarily within the lateness
+    window (events displaced up to 300 s across micro-batch boundaries,
+    arbitrary order inside each batch) must still equal the batch answer —
+    the reorder buffer holds events until the watermark passes them."""
+    import numpy as np
+
+    from libchunk_spark.queries import q_event_sessions
+    from libchunk_spark.streaming.sessionize import (
+        latest_sessions,
+        sessionize_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    src = str(tmp_path / "replay")
+    os.makedirs(src)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    rng = np.random.default_rng(17)
+    epochs = events["ts"].astype("int64") // 10**9
+    # ~8 micro-batches (state-store batches cost seconds each); safety needs
+    # jitter < slice_sec and lateness >= 2*slice_sec
+    slice_sec = max(int((epochs.max() - epochs.min()) // 8), 60)
+    lateness = 2 * slice_sec
+    perturbed = epochs + rng.integers(0, slice_sec, len(events))
+    events = events.assign(_slice=(perturbed // slice_sec))
+    n_files = 0
+    for i, (_, grp) in enumerate(sorted(events.groupby("_slice"))):
+        grp = grp.sample(frac=1, random_state=i)  # shuffle inside the batch
+        grp.drop(columns="_slice").to_parquet(
+            f"{src}/{i:05d}.parquet", index=False,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+        n_files += 1
+    assert n_files > 3, "replay must span several micro-batches"
+    # final watermark heartbeats (event_id < 0): drain every user's buffer
+    import pandas as pd
+
+    hb_ts = events["ts"].max() + pd.Timedelta(seconds=lateness + 1)
+    hb = pd.DataFrame(
+        {
+            "event_id": -1 - np.arange(events["user_id"].nunique()),
+            "ts": hb_ts,
+            "user_id": sorted(events["user_id"].unique()),
+            "event_type": "hb",
+            "value": 0.0,
+            "props": "",
+        }
+    )
+    hb.to_parquet(
+        f"{src}/{n_files:05d}_hb.parquet", index=False,
+        coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
+
+    out = str(tmp_path / "sessions")
+    q = sessionize_stream(
+        spark, src, str(tmp_path / "ckpt"), out, lateness_sec=lateness
+    )
+    assert q.awaitTermination(420), "stream did not drain in time"
+
+    got = sorted(
+        tuple(r)
+        for r in latest_sessions(spark, out)
+        .select("user_id", "session_idx", "n_events", "first_event")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in q_event_sessions(spark, sf_dir)
+        .select(
+            "user_id",
+            F.col("session_idx").cast("long"),
+            "n_events",
+            "first_event",
+        )
+        .collect()
+    )
+    assert got == want
+
+
+def test_sessionization_beyond_lateness_fails_loudly(spark, tmp_path):
+    """An event older than an already-finalized epoch must raise (naming the
+    lateness contract) instead of silently corrupting emitted sessions."""
+    import pandas as pd
+
+    from libchunk_spark.streaming.sessionize import sessionize_stream
+
+    src = str(tmp_path / "replay")
+    os.makedirs(src)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def mk(path, rows):
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [base + pd.Timedelta(seconds=r[1]) for r in rows],
+                "user_id": [1] * len(rows),
+                "event_type": "e",
+                "value": 0.0,
+                "props": "",
+            }
+        ).to_parquet(path, index=False, coerce_timestamps="us",
+                     allow_truncated_timestamps=True)
+
+    mk(f"{src}/000.parquet", [(1, 0), (2, 100)])
+    mk(f"{src}/001.parquet", [(3, 50)])  # regresses behind finalized epoch 100
+    with pytest.raises(Exception, match="late beyond|lateness contract"):
+        q = sessionize_stream(
+            spark, src, str(tmp_path / "ckpt"), str(tmp_path / "out"),
+            lateness_sec=0,
+        )
+        q.awaitTermination(120)
+        raise AssertionError("stream finished without the loud failure")
