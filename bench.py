@@ -70,6 +70,7 @@ def main() -> None:
         "cosine_pairs",
         "ann_signlsh",
         "topk_similar",
+        "topk_ivf",
         "containment_pairs",
         "chunk_stats",
     ]
