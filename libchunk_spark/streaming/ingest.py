@@ -71,6 +71,90 @@ def start_ingest(
     )
 
 
+def start_neardup_flagging(
+    spark: SparkSession,
+    source_dir: str,
+    signatures_path: str,
+    checkpoint_dir: str,
+    out_path: str,
+    pipeline_cfg,
+    hamming_radius: int | None = None,
+    band_freq_cap: int = 1024,
+):
+    """Stream new corpus files → sign → LSH band match against a STATIC
+    signed-corpus index → (file_id, matched_file_id) near-dup flags.
+
+    The streaming counterpart of batch candidate generation: the index side
+    is the signatures table an earlier pipeline run checkpointed; each
+    micro-batch signs its new rows (map-only, no shuffle) and inner-joins
+    their band rows against the index's. No broadcast hint — AQE broadcasts
+    the small side itself, and at 10^12-row index scale the join degrades
+    gracefully to sort-merge on the band key instead of OOMing a forced
+    broadcast. Index bands shared by more than `band_freq_cap` files are
+    excluded up front (boilerplate license headers would otherwise fan every
+    new file out to millions of match rows — the same df-cap policy as
+    ngram/containment). Optional `hamming_radius` adds a SimHash verify on
+    top of the band collision.
+
+    Batch-equality twin (tested): band rows of new ⋈ band rows of indexed,
+    distinct (new, old) pairs, same cap — see
+    tests/test_streaming_multimodal.py::test_streaming_neardup_flags.
+    """
+    from pyspark.sql import Window
+
+    from libchunk_spark.operators.sign import sign
+
+    idx_bands_all = (
+        spark.read.parquet(signatures_path)
+        .select(
+            F.col("file_id").alias("matched_file_id"),
+            F.col("simhash").alias("idx_simhash"),
+            F.posexplode("bands").alias("band", "band_hash"),
+        )
+    )
+    w = Window.partitionBy("band", "band_hash")
+    idx_bands = (
+        idx_bands_all.withColumn("bf", F.count("*").over(w))
+        .where(F.col("bf") <= band_freq_cap)
+        .drop("bf")
+    )
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sigs = sign(batch, pipeline_cfg)
+        new_bands = sigs.select(
+            "file_id", "simhash", F.posexplode("bands").alias("band", "band_hash")
+        )
+        matches = (
+            new_bands.join(idx_bands, ["band", "band_hash"])
+            .select("file_id", "matched_file_id", "simhash", "idx_simhash")
+            .dropDuplicates(["file_id", "matched_file_id"])
+        )
+        if hamming_radius is not None:
+            matches = matches.where(
+                F.bit_count(F.expr("simhash ^ idx_simhash")) <= hamming_radius
+            )
+        (
+            matches.select("file_id", "matched_file_id")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    stream = (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_stats_stream(
     spark: SparkSession,
     source_dir: str,

@@ -302,3 +302,54 @@ def test_sessionization_beyond_lateness_fails_loudly(spark, tmp_path):
         )
         q.awaitTermination(120)
         raise AssertionError("stream finished without the loud failure")
+
+
+def test_streaming_neardup_flags(spark, tmp_path):
+    """Stream-static LSH matching: new files streamed against a signed index
+    must flag exactly the pairs the batch band-join finds (same cap)."""
+    from libchunk_spark.config import CORPUS_PIPELINE_CONFIG as CFG
+    from libchunk_spark.fixtures import corpus_to_spark, generate_corpus
+    from libchunk_spark.operators.sign import sign
+    from libchunk_spark.streaming.ingest import start_neardup_flagging
+
+    rows = generate_corpus(n_files=80, seed=21)
+    df = corpus_to_spark(spark, rows).select(
+        "file_id", "repo", "path", "commit", "lang", "content"
+    ).cache()
+    indexed = df.where("file_id < 40")
+    incoming = df.where("file_id >= 40")
+
+    sig_path = str(tmp_path / "sigs")
+    sign(indexed, CFG).write.parquet(sig_path)
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    incoming.where("file_id < 60").coalesce(1).write.parquet(f"{src}/b1")
+    incoming.where("file_id >= 60").coalesce(1).write.parquet(f"{src}/b2")
+
+    out = str(tmp_path / "flags")
+    q = start_neardup_flagging(
+        spark, f"{src}/*", sig_path, str(tmp_path / "ckpt"), out, CFG
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r["file_id"], r["matched_file_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+    # batch twin: distinct band collisions between incoming and indexed
+    nb = sign(incoming, CFG).select(
+        "file_id", F.posexplode("bands").alias("band", "band_hash")
+    )
+    ib = spark.read.parquet(sig_path).select(
+        F.col("file_id").alias("matched_file_id"),
+        F.posexplode("bands").alias("band", "band_hash"),
+    )
+    want = {
+        (r["file_id"], r["matched_file_id"])
+        for r in nb.join(ib, ["band", "band_hash"])
+        .select("file_id", "matched_file_id")
+        .distinct()
+        .collect()
+    }
+    assert got == want
+    assert want, "fixture must produce cross-partition near-dups"
