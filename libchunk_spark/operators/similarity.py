@@ -208,12 +208,17 @@ def signlsh_pairs(
     Reference analog: bits.Move's bounded remote probe (bits/move.go:84-88)
     — never enumerate an unbounded set when an index tells you it is hot.
     """
-    rows = signlsh_buckets(emb, n_bits, n_tables, seed).repartition(
-        "tbl", "bucket"
-    )
-    sized = rows.join(
-        rows.groupBy("tbl", "bucket").agg(F.count("*").alias("sz")),
-        ["tbl", "bucket"],
+    from pyspark.sql import Window
+
+    # bucket size as a window count over the (tbl, bucket) partition — ONE
+    # exchange that every downstream branch reuses (ReusedExchange), same
+    # pattern as the ngram df-cap; a groupBy+count+join here re-shuffled the
+    # bucket subtree per branch (and a constant tbl in single-table mode is
+    # folded out of the join keys, so an explicit repartition on
+    # (tbl, bucket) never even satisfied the joins' requirements)
+    rows = signlsh_buckets(emb, n_bits, n_tables, seed)
+    sized = rows.withColumn(
+        "sz", F.count("*").over(Window.partitionBy("tbl", "bucket"))
     )
     small = sized.where(F.col("sz") <= bucket_cap).drop("sz")
     big = sized.where(F.col("sz") > bucket_cap).drop("sz")

@@ -140,3 +140,43 @@ def test_simhash_path_stays_jvm_side(spark):
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Union" in plan  # star-edge fallback branch is present
+
+
+def test_signlsh_single_table_stays_jvm_side(spark):
+    """The driver-checked sign-LSH path (raw-dims table) must contain no
+    Python nodes — bucketing, sizing, cap/star branches and the exact-cosine
+    verify are all JVM expressions — and must carry both the pair and the
+    star-degrade branches (no silent drop of oversized buckets)."""
+    from libchunk_spark.operators.similarity import signlsh_pairs
+
+    emb = spark.createDataFrame(
+        [(1, [0.1, -0.2, 0.3]), (2, [0.2, -0.1, 0.4])],
+        "vec_id long, embedding array<float>",
+    )
+    plan = (
+        signlsh_pairs(emb, 0.3, n_bits=2, bucket_cap=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "Union" in plan  # star-degrade branch present
+    assert "Window" in plan  # bucket-size cap as a reusable window count
+
+
+def test_topk_ivf_percell_stage_not_aqe_collapsed(spark):
+    """The CPU-bound per-cell top-k stage must keep its explicit n_cells
+    partitioning (user-specified repartition counts are AQE-exempt)."""
+    from libchunk_spark.operators.similarity import topk_ivf
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df = topk_ivf(emb, emb.where("vec_id % 8 = 0"), k=2, n_cells=4, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan  # the per-cell vectorized top-k
+    df.collect()  # and it executes
