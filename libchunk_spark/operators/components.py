@@ -87,6 +87,9 @@ def connected_components(
         tuned = max(8, min(int(old_parts), n0 // 500_000 + 1))
         spark.conf.set("spark.sql.shuffle.partitions", str(tuned))
         for _ in range(max_iterations):
+            # eager checkpoint + signature scan measures the same as a lazy
+            # checkpoint materialized by the signature (tried in round 3):
+            # the post-checkpoint scan is block-local and cheap either way
             cur = _canonical(_small_star(_large_star(cur))).localCheckpoint()
             sig = _signature(cur)
             if sig == prev_sig:
