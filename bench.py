@@ -71,6 +71,7 @@ def main() -> None:
         "ann_signlsh",
         "topk_similar",
         "topk_ivf",
+        "topk_pq",
         "containment_pairs",
         "chunk_stats",
     ]

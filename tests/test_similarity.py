@@ -161,3 +161,49 @@ def test_emb_dedup_verdict_edge_sources_agree(spark, emb):
         assert set(alt) == set(brute)
         agree = sum(alt[v] == brute[v] for v in brute) / len(brute)
         assert agree >= 0.9, f"{source} verdict agreement {agree:.3f}"
+
+
+def test_pq_topk_matches_exact_ranking(spark, emb):
+    """Compressed-domain retrieval: PQ codes + ADC shortlist + exact re-rank
+    must recover >=0.9 of the exact (q, cand) hits, deterministically."""
+    from pyspark.sql import functions as F
+
+    from libchunk_spark.operators.pq import pq_encode, pq_topk, pq_train
+    from libchunk_spark.operators.similarity import scored_candidates
+    from libchunk_spark.queries import TOPK_K
+
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    got = pq_topk(emb, queries, k=TOPK_K, m=16, n_codes=64, shortlist=64)
+    rows = got.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q"], []).append((r["rank"], r["sim"]))
+    for q, rr in per_q.items():
+        rr.sort()
+        assert [x[0] for x in rr] == list(range(1, len(rr) + 1))
+        sims = [x[1] for x in rr]
+        assert sims == sorted(sims, reverse=True)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q").orderBy(F.desc("sim"), F.asc("cand"))
+    exact = {
+        (r["q"], r["cand"])
+        for r in scored_candidates(emb, queries)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK_K)
+        .collect()
+    }
+    hits = sum((r["q"], r["cand"]) in exact for r in rows)
+    assert hits >= 0.9 * len(exact), f"pq recall {hits}/{len(exact)}"
+
+    # the compressed artifact really is small: m int codes per vector
+    books = pq_train(emb, m=16, n_codes=64)
+    codes = pq_encode(emb, books)
+    first = codes.first()
+    assert len(first["codes"]) == 16
+    assert all(0 <= c < 64 for c in first["codes"])
+    # deterministic end to end
+    again = {(r["q"], r["cand"]) for r in pq_topk(
+        emb, queries, k=TOPK_K, m=16, n_codes=64, shortlist=64).collect()}
+    assert again == {(r["q"], r["cand"]) for r in rows}
