@@ -153,28 +153,34 @@ def pq_topk(
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, l = bc.value
         nq = len(ids)
+        # cap the (|q|, chunk) score matrix: at the 10k-query gate a full
+        # 10k-row Arrow batch would be an 800 MB transient per task
+        chunk = max(1, (1 << 22) // max(nq, 1))  # ~32 MB of float64
         for pdf in batches:
             if not len(pdf):
                 continue
-            c = np.stack(pdf["codes"].map(np.asarray))  # (n, m)
-            cand_ids = pdf["vec_id"].to_numpy()
-            # approx[q, i] = sum_j LUT[q, j, c[i, j]]
-            approx = np.zeros((nq, len(c)))
-            for j in range(l.shape[1]):
-                approx += l[:, j, :][:, c[:, j]]
-            approx[ids[:, None] == cand_ids[None, :]] = -np.inf  # no self
-            r = min(top_r, approx.shape[1])
-            top = np.argpartition(-approx, r - 1, axis=1)[:, :r]
-            qi = np.repeat(np.arange(nq), r)
-            ci = top.ravel()
-            keep = np.isfinite(approx[qi, ci])
-            yield pd.DataFrame(
-                {
-                    "q": ids[qi[keep]],
-                    "cand": cand_ids[ci[keep]],
-                    "approx": approx[qi, ci][keep],
-                }
-            )
+            c_all = np.stack(pdf["codes"].map(np.asarray))  # (n, m)
+            id_all = pdf["vec_id"].to_numpy()
+            for s in range(0, len(c_all), chunk):
+                c = c_all[s : s + chunk]
+                cand_ids = id_all[s : s + chunk]
+                # approx[q, i] = sum_j LUT[q, j, c[i, j]]
+                approx = np.zeros((nq, len(c)))
+                for j in range(l.shape[1]):
+                    approx += l[:, j, :][:, c[:, j]]
+                approx[ids[:, None] == cand_ids[None, :]] = -np.inf  # no self
+                r = min(top_r, approx.shape[1])
+                top = np.argpartition(-approx, r - 1, axis=1)[:, :r]
+                qi = np.repeat(np.arange(nq), r)
+                ci = top.ravel()
+                keep = np.isfinite(approx[qi, ci])
+                yield pd.DataFrame(
+                    {
+                        "q": ids[qi[keep]],
+                        "cand": cand_ids[ci[keep]],
+                        "approx": approx[qi, ci][keep],
+                    }
+                )
 
     per_part = codes.mapInPandas(score, "q long, cand long, approx double")
     w_s = Window.partitionBy("q").orderBy(F.desc("approx"), F.asc("cand"))
