@@ -149,7 +149,33 @@ def _ensure_corpus(n_files: int) -> str:
     return path
 
 
-def orchestrate(n: int, n_files: int, repeats: int = 2) -> None:
+def _loadavg() -> tuple[float, float, float]:
+    with open("/proc/loadavg") as f:
+        a, b, c = f.read().split()[:3]
+    return float(a), float(b), float(c)
+
+
+def _require_quiet_host(max_load: float = 0.7) -> None:
+    """Refuse to measure on a loaded host. Round 3 learned this the hard
+    way: an EXTERNAL ~4-6-core load (invisible in this sandbox's ps)
+    leaves the taskset-pinned local[4] level untouched but halves
+    local[16], cratering the measured efficiency (0.890 → 0.489 on a
+    bit-identical kernel; BENCH/BASELINE.md §round-3 re-measurement).
+    The 1-min AND 15-min load averages must both be quiet — a low 1-min
+    value right after a burst still means the window is contested."""
+    one, _, fifteen = _loadavg()
+    if one > max_load or fifteen > max_load:
+        raise SystemExit(
+            f"host not quiet (loadavg 1m={one} 15m={fifteen} > {max_load}): "
+            "an external load corrupts the N-vs-4N comparison — re-run when "
+            "quiet, or pass --allow-loaded to record a confounded run anyway"
+        )
+
+
+def orchestrate(n: int, n_files: int, repeats: int = 2,
+                allow_loaded: bool = False) -> None:
+    if not allow_loaded:
+        _require_quiet_host()
     corpus_path = _ensure_corpus(n_files)
     raw_runs: dict[str, list[dict]] = {}
     for cpus in [n, 4 * n]:
@@ -176,6 +202,7 @@ def orchestrate(n: int, n_files: int, repeats: int = 2) -> None:
                 sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
                 raise SystemExit(f"worker cpus={cpus} produced no result")
             r = json.loads(lines[-1])
+            r["loadavg_after"] = _loadavg()  # evidence-quality metadata
             print(lines[-1])
             raw_runs[str(cpus)].append(r)
     write_report(raw_runs, n, n_files, repeats)
@@ -450,10 +477,16 @@ if __name__ == "__main__":
     ap.add_argument("--n", type=int, default=4)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--fleet", action="store_true")
+    ap.add_argument(
+        "--allow-loaded", action="store_true",
+        help="measure even when the host loadavg says the window is "
+             "contested (the run will be confounded; see BENCH/BASELINE.md)",
+    )
     args = ap.parse_args()
     if args.cpus:
         worker(args.cpus, args.corpus or _ensure_corpus(args.files), args.barrier)
     elif args.fleet:
         orchestrate_fleet(args.n, args.files, args.repeats)
     else:
-        orchestrate(args.n, args.files, args.repeats)
+        orchestrate(args.n, args.files, args.repeats,
+                    allow_loaded=args.allow_loaded)
