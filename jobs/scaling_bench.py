@@ -280,8 +280,9 @@ executor clusters (BASELINE.md scaling row).
 | local[{4*n}] | {r4['chunk_sign_sec']} | {r4['cluster_sec']} | {r4['total_sec']} | {r4['files_per_sec_chunk_sign']} | {r4['mb_per_sec_chunk_sign']} |
 
 **Raw shared-socket efficiency, chunk+sign throughput =
-(T_{n}·{n}) / (T_{4*n}·{4*n}) = {eff_cs:.3f}** (target >= 0.8 — met on the raw
-measurement, before any contention correction); total incl. clustering =
+(T_{n}·{n}) / (T_{4*n}·{4*n}) = {eff_cs:.3f}** (target >= 0.8 —
+{'MET on the raw measurement' if eff_cs >= 0.8 else 'NOT met in this session'},
+before any contention correction); total incl. clustering =
 {eff:.3f}. Per-phase best-of-{repeats} (phases are independent measurements;
 raw runs in BENCH/raw_runs.json).
 
