@@ -914,6 +914,86 @@ FROM documents
 
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters per doc: fraction of the
+    most frequent word, fraction of the most frequent word-bigram, and the
+    mass of words occurring more than once. Training pipelines drop docs
+    above thresholds on these before dedup even runs; identical math on
+    both engines keeps the oracle byte-equal."""
+    words = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(_tokens()).alias("w")
+    )
+    wstats = (
+        words.groupBy("doc_id", "w")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_words"),
+            F.max("count").alias("top_w"),
+            F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0)).alias(
+                "dup_w"
+            ),
+        )
+    )
+    t = _tokens()
+    bigrams = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(t) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - 2),
+                    lambda i: F.concat_ws(" ", F.slice(t, i + 1, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("b"),
+    )
+    bstats = (
+        bigrams.groupBy("doc_id", "b")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.sum("count").alias("n_bigrams"), F.max("count").alias("top_b"))
+    )
+    return (
+        wstats.join(bstats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(F.col("top_w") / F.col("n_words"), 4).alias("top_word_frac"),
+            F.round(F.col("top_b") / F.col("n_bigrams"), 4).alias(
+                "top_bigram_frac"
+            ),
+            F.round(F.col("dup_w") / F.col("n_words"), 4).alias("dup_word_frac"),
+        )
+    )
+
+
+SQL_REPETITION_STATS = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+ws AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, max(c) AS top_w,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_w
+  FROM wc GROUP BY 1
+),
+bigrams AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS b
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       LATERAL (SELECT unnest(range(1, len(t))) AS i)
+  WHERE len(t) >= 2
+),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bigrams GROUP BY 1, 2),
+bs AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_b FROM bc GROUP BY 1)
+SELECT ws.doc_id, ws.n_words,
+       round(top_w / CAST(n_words AS DOUBLE), 4) AS top_word_frac,
+       round(top_b / CAST(n_bigrams AS DOUBLE), 4) AS top_bigram_frac,
+       round(dup_w / CAST(n_words AS DOUBLE), 4) AS dup_word_frac
+FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+"""
+
+
 def q_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex token counting (words / numbers / punctuation runs).
 
@@ -1266,6 +1346,7 @@ QUERIES = {
     "cosine_pairs": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_signlsh": (q_ann_signlsh, SQL_ANN_SIGNLSH),
     "regex_tokens": (q_regex_tokens, SQL_REGEX_TOKENS),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),  # recall-floor contract vs exact set
     "emb_dedup_verdicts": (q_emb_dedup_verdicts, SQL_EMB_DEDUP_VERDICTS),
     "topk_similar": (q_topk_similar, SQL_TOPK_SIMILAR),
