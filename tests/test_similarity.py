@@ -207,3 +207,32 @@ def test_pq_topk_matches_exact_ranking(spark, emb):
     again = {(r["q"], r["cand"]) for r in pq_topk(
         emb, queries, k=TOPK_K, m=16, n_codes=64, shortlist=64).collect()}
     assert again == {(r["q"], r["cand"]) for r in rows}
+
+
+def test_signlsh_pairs_property_random(spark):
+    """Property (random embeddings): every emitted pair is a<b, passes the
+    exact-cosine threshold, and is a subset of the brute-force pair set."""
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(16)]) for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from libchunk_spark.operators.similarity import signlsh_pairs
+
+    got = signlsh_pairs(emb, 0.2, n_bits=4, n_tables=3, bucket_cap=1024).collect()
+    exact = {(r["a"], r["b"]) for r in brute_force_pairs(emb, 0.2).collect()}
+    for r in got:
+        assert r["a"] < r["b"] and r["sim"] >= 0.2
+        assert (r["a"], r["b"]) in exact
+
+
+def test_pq_train_rejects_bad_subspace_split(spark, emb):
+    """m must divide the embedding dimension — loud error, not garbage."""
+    import pytest as _pytest
+
+    from libchunk_spark.operators.pq import pq_train
+
+    with _pytest.raises(ValueError, match="must divide"):
+        pq_train(emb, m=7, n_codes=16)
