@@ -180,3 +180,31 @@ def test_topk_ivf_percell_stage_not_aqe_collapsed(spark):
     assert "REPARTITION_BY_NUM" in plan, plan
     assert "FlatMapGroupsInPandas" in plan  # the per-cell vectorized top-k
     df.collect()  # and it executes
+
+
+def test_move_bloom_equals_exact_antijoin(spark):
+    """Bloom-pruned push must equal the exact anti-join byte-for-byte —
+    including under forced false positives (tiny filter), which phase 2's
+    exact anti-join must resolve. No false negatives = nothing skipped."""
+    import hashlib
+
+    from libchunk_spark.operators.move import move, move_bloom
+
+    keys = [hashlib.sha256(f"chunk{i}".encode()).hexdigest() for i in range(400)]
+    local = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)], "k string, payload long"
+    )
+    remote = spark.createDataFrame(
+        [(k,) for k in keys[::3]], "k string"  # every third key is remote
+    )
+    exact = move(local, remote)
+    want = sorted(tuple(r) for r in exact.pushed.collect())
+    # generously sized filter (few false positives)
+    got_ok = move_bloom(local, remote, expected_keys=200, fpp=0.01)
+    assert sorted(tuple(r) for r in got_ok.pushed.collect()) == want
+    assert got_ok.skipped_count == exact.skipped_count
+    # pathologically small filter -> many false positives -> phase 2 must
+    # resolve them all; result still exact
+    got_fp = move_bloom(local, remote, expected_keys=2, fpp=0.5)
+    assert sorted(tuple(r) for r in got_fp.pushed.collect()) == want
+    assert got_fp.skipped_count == exact.skipped_count
