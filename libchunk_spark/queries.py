@@ -831,6 +831,39 @@ def q_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC top-k retrieval (cell-pruned PQ scan), value-checked like
+    q_topk_ivf / q_topk_pq.
+
+    The 100 TB composition: codes are IVF-cell-assigned, each query's ADC
+    scan touches only its nprobe probed cells — O(probed cells) per query
+    batch instead of pq_topk's O(corpus codes) — and the exact re-rank makes
+    the emitted sims exact. Contract: (n_exact, recall_ok) with recall vs
+    the exact ranking >= TOPK_IVF_RECALL_FLOOR."""
+    from libchunk_spark.operators.pq import pq_topk_ivf
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    ivfpq = pq_topk_ivf(
+        emb, queries, k=TOPK_K, m=16, n_codes=64, shortlist=64,
+        n_cells=8, nprobe=5,
+    ).select("q", "cand")
+    exact = q_topk_similar(spark, sf_dir).select("q", "cand")
+    hits = exact.join(ivfpq, ["q", "cand"], "left_semi").agg(
+        F.count("*").alias("n_hit")
+    )
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(hits)
+        .select(
+            "n_exact",
+            (
+                F.col("n_hit") >= TOPK_IVF_RECALL_FLOOR * F.col("n_exact")
+            ).alias("recall_ok"),
+        )
+    )
+
+
 def q_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking invariants per doc, value-checked.
 
@@ -1352,6 +1385,7 @@ QUERIES = {
     "topk_similar": (q_topk_similar, SQL_TOPK_SIMILAR),
     "topk_ivf": (q_topk_ivf, SQL_TOPK_IVF),  # recall-floor contract
     "topk_pq": (q_topk_pq, SQL_TOPK_IVF),  # same exact-ranking oracle/floor
+    "topk_ivfpq": (q_topk_ivfpq, SQL_TOPK_IVF),  # IVFADC, same contract
     "crossmodal_dup_flags": (q_crossmodal_dup_flags, SQL_CROSSMODAL_DUP_FLAGS),
     "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     # chunk boundaries are not SQL-expressible, but their byte-total and
