@@ -208,3 +208,52 @@ def test_move_bloom_equals_exact_antijoin(spark):
     got_fp = move_bloom(local, remote, expected_keys=2, fpp=0.5)
     assert sorted(tuple(r) for r in got_fp.pushed.collect()) == want
     assert got_fp.skipped_count == exact.skipped_count
+
+
+def test_move_bloom_empty_remote_pushes_everything(spark):
+    """ADVICE r03: an empty remote index (zero rows) must yield the
+    all-absent filter — everything pushes, nothing raises."""
+    import hashlib
+
+    from libchunk_spark.operators.move import move_bloom
+
+    keys = [hashlib.sha256(f"c{i}".encode()).hexdigest() for i in range(20)]
+    local = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)], "k string, payload long"
+    )
+    remote = spark.createDataFrame([], "k string")
+    got = move_bloom(local, remote, expected_keys=10)
+    assert got.pushed.count() == 20
+    assert got.skipped_count == 0
+
+
+def test_move_bloom_rejects_non_sha256_keys(spark):
+    """ADVICE r03: the sha256-hex key contract is enforced loudly at the
+    operator boundary, not as a ValueError deep inside an executor."""
+    import pytest as _pytest
+
+    from libchunk_spark.operators.move import _bloom_positions
+
+    with _pytest.raises(ValueError, match="sha256-hex"):
+        _bloom_positions(["short"], 64, 2)
+    with _pytest.raises(ValueError, match="sha256-hex"):
+        _bloom_positions(["Z" * 64], 64, 2)
+
+
+def test_bloom_positions_match_python_int_parse():
+    """The vectorized nibble dot product must be bit-identical to the
+    int(k[:15], 16) / int(k[15:30], 16) | 1 reference it replaced."""
+    import hashlib
+
+    import numpy as np
+
+    from libchunk_spark.operators.move import _bloom_positions
+
+    keys = [hashlib.sha256(f"x{i}".encode()).hexdigest() for i in range(64)]
+    m, h = 997, 3
+    got = _bloom_positions(keys, m, h)
+    h1 = np.array([int(k[:15], 16) for k in keys], dtype=np.uint64)
+    h2 = np.array([int(k[15:30], 16) | 1 for k in keys], dtype=np.uint64)
+    i = np.arange(h, dtype=np.uint64)
+    want = (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)
+    assert (got == want).all()
