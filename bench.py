@@ -34,6 +34,7 @@ def main() -> None:
     from libchunk_spark.config import CORPUS_PIPELINE_CONFIG as CCFG
     from libchunk_spark.fixtures import generate_corpus_fast
     from libchunk_spark.operators.components import connected_components
+    from libchunk_spark.operators.fused import chunk_and_sign
     from libchunk_spark.operators.lsh import (
         minhash_candidate_edges,
         simhash_candidate_edges,
@@ -53,6 +54,7 @@ def main() -> None:
     sign(warm, CCFG).agg(F.sum("n_shingles")).collect()  # agg: a bare count
     # would let Catalyst prune the UDF and warm nothing
     split(warm, CCFG.chunk, keep_payload=False).chunks.count()
+    chunk_and_sign(warm, CCFG).where("pos = 0").count()
     spark.range(1000).select(F.sha2(F.col("id").cast("string"), 256)).count()
 
     # best-of-N: single-run host noise is +-25% (BENCH/BASELINE.md), so
@@ -72,6 +74,7 @@ def main() -> None:
         "topk_similar",
         "topk_ivf",
         "topk_pq",
+        "topk_ivfpq",
         "containment_pairs",
         "chunk_stats",
     ]
@@ -114,22 +117,32 @@ def main() -> None:
             qfn = Q.QUERIES[qname][0]
             bench(qname, lambda qfn=qfn: qfn(spark, sf_dir).count())
 
-        sig_tmp = tempfile.mkdtemp(prefix="bench_sigs_")
+        fused_tmp = tempfile.mkdtemp(prefix="bench_fused_")
         try:
-            # phase 1 — chunk+sign: signatures checkpoint to parquet (the
-            # production handoff; cache() of wide array columns is slower)
-            # and the chunk index materializes. chunk_index.count() genuinely
-            # needs the chunk UDF's k column, so nothing is pruned.
+            # phase 1 — chunk+sign: ONE fused content pass (the production
+            # put path, pipeline.py): the fused frame checkpoints to parquet
+            # and the distinct chunk-key count reads the checkpoint — the
+            # chunker and shingle UDFs share each Arrow batch of bytes
+            # instead of scanning the corpus twice (VERDICT r03 item 2;
+            # measured ~2x the two-pass files/s at this scale).
             t0 = time.time()
-            sign(corpus, CCFG).write.mode("overwrite").parquet(sig_tmp)
-            sp = split(corpus, CCFG.chunk, keep_payload=False)
-            n_keys = sp.chunk_index.count()
+            fused_path = os.path.join(fused_tmp, "fused")
+            chunk_and_sign(corpus, CCFG).write.mode("overwrite").parquet(
+                fused_path
+            )
+            fused_c = spark.read.parquet(fused_path)
+            n_keys = (
+                fused_c.where(F.col("k").isNotNull())
+                .select("k").distinct().count()
+            )
             timings["pipeline_chunk_sign"] = round(time.time() - t0, 3)
 
             # phase 2 — cluster: edges + connected components from the
-            # checkpointed signatures
+            # checkpointed fused frame's signature projection
             t0 = time.time()
-            sigs_c = spark.read.parquet(sig_tmp)
+            sigs_c = fused_c.where(F.col("pos") == 0).select(
+                "file_id", "minhash", "simhash", "bands", "n_shingles"
+            )
             edges = minhash_candidate_edges(sigs_c, CCFG).unionByName(
                 simhash_candidate_edges(sigs_c, CCFG)
             )
@@ -137,7 +150,7 @@ def main() -> None:
             n_clusters = comp.select("component").distinct().count()
             timings["pipeline_cluster"] = round(time.time() - t0, 3)
         finally:
-            shutil.rmtree(sig_tmp, ignore_errors=True)
+            shutil.rmtree(fused_tmp, ignore_errors=True)
         if _rep >= 0:  # warm-up reps are discarded
             runs.append(timings)
 

@@ -10,14 +10,27 @@ on the same input:
 
 Worker mode:  scaling_bench.py --cpus K --corpus PATH  (prints one JSON line)
 Orchestrator: scaling_bench.py [--files M] [--n 8]     (generates the corpus
-              parquet once, runs K=n and K=4n in subprocesses, writes
-              BENCH/BASELINE.md)
+              parquet once, runs interleaved N / 4N pairs in subprocesses,
+              writes BENCH/BASELINE.md)
+
+Drift-immune design (VERDICT r03 item 1): the two levels are measured as
+INTERLEAVED ADJACENT PAIRS — N, 4N, N, 4N, ... within one loadavg-gated
+window — and the gate verdict is the MEDIAN OF PER-PAIR RATIOS. The previous
+sequential-phase design (all N reps, then all 4N reps) let time-varying host
+capacity land asymmetrically on one level, which produced a 0.585-0.890
+spread on bit-identical kernels across round-2/3 sessions. A paired ratio
+sees the same few-minute host window on both of its sides; the median
+discards pairs that straddle a capacity change. Reference analog: one
+harness run covering all sizes (/root/reference/bits/bits_test.go:27-55).
 
 Methodology notes (hard-won):
 * corpus is read from parquet — driver-side createDataFrame pickling is
   serial and would pollute the measurement;
-* signatures are checkpointed to parquet between the sign and cluster
-  phases (DataFrame.cache() of array columns costs ~20s of boxing);
+* chunk+sign is the FUSED single-pass operator (operators/fused.py), the
+  production put path: one content scan, fused frame checkpointed to
+  parquet, the cluster phase reads its signature projection (measured ~2x
+  the two-pass files/s at bench scale — the round-3 note claiming separate
+  passes won on a cached corpus did not survive re-measurement);
 * every worker slot is warmed with the real UDFs before timing (python
   worker fork+import otherwise bills ~10s to the first stage);
 * evaluation is forced through aggregates over UDF output columns — a bare
@@ -39,6 +52,36 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+# Appended verbatim to every regenerated BENCH/BASELINE.md so the
+# cross-session evidence survives report regeneration (CLAUDE.md pitfall).
+HISTORY_MD = """
+## Multi-session history: why the measurement design changed (rounds 2-4)
+
+Rounds 2-3 measured the two levels in SEQUENTIAL phases (all local[4] reps,
+then all local[16] reps) on the two-pass chunk+sign kernel. Quiet-window
+sessions on bit-identical code spread 0.585-0.890:
+
+| session | local[4] c+s best | local[16] c+s best | raw efficiency |
+|---|---|---|---|
+| round 2 (accepted) | 90.8 s (2,643 f/s) | 25.5 s (9,408 f/s) | 0.890 |
+| round 3, loaded host (discarded; artifacts `raw_runs_r3_confounded.json`) | 92.2 s | 47.2 s | 0.489 |
+| round 3, quiet window | 78.3 s (3,064 f/s) | 29.1 s (8,256 f/s) | 0.674 |
+| round 3, second quiet probe (`extra_local16_reps_r3.log`) | 84.2 s | 36.0 s | 0.585 |
+
+Two facts pinned the spread on host state rather than code: (1) local[4]
+got 16% FASTER while local[16] got 12% slower between the round-2 and
+round-3 sessions — impossible from a code change, exactly what shrinking
+sustained all-core host capacity does; (2) back-to-back identical pinned
+local[16] reps spread 2.1x within one window (39.9-61.4 s, loadavg-stamped)
+while the concurrently measured pure-NumPy kernel contention factor was
+1.054 (no kernel-level contention). Sequential phases inherit that drift
+asymmetrically; round 4 therefore interleaves the levels as adjacent pairs
+and takes the median of per-pair ratios (VERDICT r03 item 1), and the
+kernel under test is now the fused single-pass operator (the production
+put path) — round-4 times are not directly comparable to the two-pass rows
+above.
+"""
+
 
 def _barrier(barrier_dir: str | None, n_ready: int | None = None) -> None:
     """Worker side: mark ready, then wait for the orchestrator's go-file so
@@ -56,12 +99,11 @@ def worker(cpus: int, corpus_path: str, barrier_dir: str | None = None) -> None:
 
     from libchunk_spark.config import CORPUS_PIPELINE_CONFIG as CFG
     from libchunk_spark.operators.components import connected_components
+    from libchunk_spark.operators.fused import chunk_and_sign
     from libchunk_spark.operators.lsh import (
         minhash_candidate_edges,
         simhash_candidate_edges,
     )
-    from libchunk_spark.operators.sign import sign
-    from libchunk_spark.operators.split import split
     from libchunk_spark.session import get_spark
 
     spark = get_spark(app=f"scaling-{cpus}", master=f"local[{cpus}]")
@@ -74,30 +116,32 @@ def worker(cpus: int, corpus_path: str, barrier_dir: str | None = None) -> None:
     total_mb = (
         corpus.agg(F.sum(F.length("content")).alias("b")).first()["b"] / 1e6
     )
-    # warm every python worker slot with the real UDF code paths
+    # warm every python worker slot with the real UDF code path (the fused
+    # operator imports + JITs both the chunker and the shingle kernels)
     warm = (
         spark.range(0, cpus * 8, 1, cpus * 2)
         .selectExpr("id as file_id", "repeat('warm text ', 50) as content")
     )
-    sign(warm, CFG).agg(F.sum("n_shingles")).collect()
-    split(warm, CFG.chunk, keep_payload=False).chunks.count()
+    chunk_and_sign(warm, CFG).where("pos = 0").count()
     _barrier(barrier_dir)
 
     tmp = tempfile.mkdtemp(prefix=f"scaling{cpus}_")
-    sig_path = os.path.join(tmp, "signatures")
+    fused_path = os.path.join(tmp, "fused")
     try:
-        # NB: separate sign/split passes beat operators.fused here because
-        # the corpus is memory-cached (the fused frame's per-chunk nullable
-        # array columns cost more to write than the second scan saves);
-        # fused wins when content comes from cold storage instead.
+        # chunk+sign: the production single-pass put (pipeline.py wiring):
+        # fused frame checkpoints to parquet, chunk-key count reads it back
         t0 = time.time()
-        sign(corpus, CFG).write.mode("overwrite").parquet(sig_path)
-        sp = split(corpus, CFG.chunk, keep_payload=False)
-        n_keys = sp.chunk_index.count()
+        chunk_and_sign(corpus, CFG).write.mode("overwrite").parquet(fused_path)
+        fused = spark.read.parquet(fused_path)
+        n_keys = (
+            fused.where(F.col("k").isNotNull()).select("k").distinct().count()
+        )
         chunk_sign_sec = time.time() - t0
 
-        sigs = spark.read.parquet(sig_path)
         t0 = time.time()
+        sigs = fused.where(F.col("pos") == 0).select(
+            "file_id", "minhash", "simhash", "bands", "n_shingles"
+        )
         edges = minhash_candidate_edges(sigs, CFG).unionByName(
             simhash_candidate_edges(sigs, CFG)
         )
@@ -172,48 +216,86 @@ def _require_quiet_host(max_load: float = 0.7) -> None:
         )
 
 
+def _run_worker(cpus: int, corpus_path: str) -> dict:
+    cmd = [
+        sys.executable,
+        os.path.abspath(__file__),
+        "--cpus",
+        str(cpus),
+        "--corpus",
+        corpus_path,
+    ]
+    if shutil.which("taskset"):
+        # pin the whole process tree (JVM + python workers) to exactly
+        # `cpus` physical CPUs — otherwise the small run's JVM threads
+        # borrow the idle cores and the comparison flatters local[N]
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    before = _loadavg()
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=REPO, timeout=3600
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
+        raise SystemExit(f"worker cpus={cpus} produced no result")
+    r = json.loads(lines[-1])
+    r["loadavg_before"] = before  # evidence-quality metadata
+    r["loadavg_after"] = _loadavg()
+    print(lines[-1])
+    return r
+
+
 def orchestrate(n: int, n_files: int, repeats: int = 2,
                 allow_loaded: bool = False) -> None:
     if not allow_loaded:
         _require_quiet_host()
     corpus_path = _ensure_corpus(n_files)
-    raw_runs: dict[str, list[dict]] = {}
-    for cpus in [n, 4 * n]:
-        cmd = [
-            sys.executable,
-            os.path.abspath(__file__),
-            "--cpus",
-            str(cpus),
-            "--corpus",
-            corpus_path,
-        ]
-        if shutil.which("taskset"):
-            # pin the whole process tree (JVM + python workers) to exactly
-            # `cpus` physical CPUs — otherwise the small run's JVM threads
-            # borrow the idle cores and the comparison flatters local[N]
-            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-        raw_runs[str(cpus)] = []
-        for _ in range(repeats):  # best-of-N: host noise is +-25% per run
-            out = subprocess.run(
-                cmd, capture_output=True, text=True, cwd=REPO, timeout=3600
+    # INTERLEAVED pairs: N then 4N, back to back, `repeats` times. Each
+    # pair's two sides see the same few-minute host window, so a capacity
+    # drift between pairs cancels in the per-pair ratio instead of landing
+    # on one level (the round-3 failure mode).
+    pairs: list[dict] = []
+    raw_runs: dict[str, list[dict]] = {str(n): [], str(4 * n): []}
+    for i in range(repeats):
+        rn = _run_worker(n, corpus_path)
+        r4 = _run_worker(4 * n, corpus_path)
+        raw_runs[str(n)].append(rn)
+        raw_runs[str(4 * n)].append(r4)
+        pairs.append(
+            {
+                "pair": i,
+                "eff_chunk_sign": (rn["chunk_sign_sec"] * n)
+                / (r4["chunk_sign_sec"] * 4 * n),
+                "eff_total": (rn["total_sec"] * n) / (r4["total_sec"] * 4 * n),
+                "n": rn,
+                "4n": r4,
+            }
+        )
+        print(
+            json.dumps(
+                {
+                    "pair": i,
+                    "eff_chunk_sign": round(pairs[-1]["eff_chunk_sign"], 3),
+                    "eff_total": round(pairs[-1]["eff_total"], 3),
+                }
             )
-            lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
-            if not lines:
-                sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
-                raise SystemExit(f"worker cpus={cpus} produced no result")
-            r = json.loads(lines[-1])
-            r["loadavg_after"] = _loadavg()  # evidence-quality metadata
-            print(lines[-1])
-            raw_runs[str(cpus)].append(r)
-    write_report(raw_runs, n, n_files, repeats)
+        )
+    write_report(raw_runs, pairs, n, n_files, repeats)
 
 
-def write_report(raw_runs: dict[str, list[dict]], n: int, n_files: int,
-                 repeats: int) -> None:
+def _median(xs: list[float]) -> float:
+    import statistics
+
+    return statistics.median(xs)
+
+
+def write_report(raw_runs: dict[str, list[dict]], pairs: list[dict],
+                 n: int, n_files: int, repeats: int) -> None:
     def per_phase_best(runs: list[dict]) -> dict:
         # best-of-N PER PHASE (same statistic as bench.py): phases are
         # independent measurements and the per-run total couples one phase's
-        # lucky draw to the other's unlucky one.
+        # lucky draw to the other's unlucky one. Used for the throughput
+        # table only — the GATE verdict is the median of paired ratios.
         b = dict(runs[0])
         b["chunk_sign_sec"] = min(r["chunk_sign_sec"] for r in runs)
         b["cluster_sec"] = min(r["cluster_sec"] for r in runs)
@@ -226,8 +308,9 @@ def write_report(raw_runs: dict[str, list[dict]], n: int, n_files: int,
 
     results = {int(k): per_phase_best(v) for k, v in raw_runs.items()}
     rn, r4 = results[n], results[4 * n]
-    eff = (rn["total_sec"] * n) / (r4["total_sec"] * 4 * n)
-    eff_cs = (rn["chunk_sign_sec"] * n) / (r4["chunk_sign_sec"] * 4 * n)
+    # gate verdict: median of per-pair ratios (drift-immune by design)
+    eff = _median([p["eff_total"] for p in pairs])
+    eff_cs = _median([p["eff_chunk_sign"] for p in pairs])
 
     # measured shared-memory contention normalization (jobs/kernel_contention.py):
     # per-core kernel speed at 4N busy cores / at N busy cores. Separate
@@ -267,24 +350,45 @@ Run `python jobs/kernel_contention.py` first to measure the shared-socket
 contention factor; BASELINE.md will then report normalized efficiency.
 """
     )
+    pair_rows = "\n".join(
+        f"| {p['pair']} | {p['n']['chunk_sign_sec']} | "
+        f"{p['4n']['chunk_sign_sec']} | {p['eff_chunk_sign']:.3f} | "
+        f"{p['n']['total_sec']} | {p['4n']['total_sec']} | "
+        f"{p['eff_total']:.3f} | "
+        f"{p['n'].get('loadavg_before', ['?'])[0]}→{p['4n'].get('loadavg_after', ['?'])[0]} |"
+        for p in pairs
+    )
     md = f"""# BENCH/BASELINE — measured scaling evidence
 
-Same job (chunk+sign -> LSH/SimHash edges -> connected components), same
-input ({rn['files']} synthetic source files, {rn['mb']} MB, seed 42, read
-from parquet), two parallelism levels — the sandbox stand-in for N vs 4N
-executor clusters (BASELINE.md scaling row).
+Same job (fused single-pass chunk+sign -> LSH/SimHash edges -> connected
+components), same input ({rn['files']} synthetic source files, {rn['mb']} MB,
+seed 42, read from parquet), two parallelism levels — the sandbox stand-in
+for N vs 4N executor clusters (BASELINE.md scaling row).
+
+## Gate verdict: median of interleaved paired ratios
+
+The two levels run as ADJACENT PAIRS — local[{n}] then local[{4*n}],
+back-to-back, {repeats}x in one loadavg-gated window — so both sides of each
+ratio see the same few-minute host window; the previous all-N-then-all-4N
+design let time-varying host capacity land on one level only (the 0.585-0.890
+round-2/3 spread on identical code; see history below).
+
+| pair | c+s sec [{n}] | c+s sec [{4*n}] | c+s efficiency | total [{n}] | total [{4*n}] | total efficiency | loadavg 1m |
+|---|---|---|---|---|---|---|---|
+{pair_rows}
+
+**Chunk+sign scaling efficiency = median of paired ratios = {eff_cs:.3f}**
+(target >= 0.8 — {'MET' if eff_cs >= 0.8 else 'NOT met in this session'},
+raw shared-socket measurement, before any contention correction); total
+incl. clustering = {eff:.3f}. Per-rep loadavg stamps ride every worker
+result (BENCH/raw_runs.json).
+
+## Best-of-{repeats} throughput per level (secondary)
 
 | parallelism | chunk+sign sec | cluster sec | total sec | files/sec (c+s) | MB/s (c+s) |
 |---|---|---|---|---|---|
 | local[{n}]  | {rn['chunk_sign_sec']} | {rn['cluster_sec']} | {rn['total_sec']} | {rn['files_per_sec_chunk_sign']} | {rn['mb_per_sec_chunk_sign']} |
 | local[{4*n}] | {r4['chunk_sign_sec']} | {r4['cluster_sec']} | {r4['total_sec']} | {r4['files_per_sec_chunk_sign']} | {r4['mb_per_sec_chunk_sign']} |
-
-**Raw shared-socket efficiency, chunk+sign throughput =
-(T_{n}·{n}) / (T_{4*n}·{4*n}) = {eff_cs:.3f}** (target >= 0.8 —
-{'MET on the raw measurement' if eff_cs >= 0.8 else 'NOT met in this session'},
-before any contention correction); total incl. clustering =
-{eff:.3f}. Per-phase best-of-{repeats} (phases are independent measurements;
-raw runs in BENCH/raw_runs.json).
 
 The clustering phase is driver-round-latency bound at this corpus size
 (~4 large-star/small-star rounds of fixed ~3-8 s latency dominate regardless
@@ -295,8 +399,8 @@ compute-bound and shuffle-parallel. The north-star throughput metric
 Output equality across levels — chunk keys: {rn['n_chunk_keys']} / {r4['n_chunk_keys']};
 clusters: {rn['n_clusters']} / {r4['n_clusters']}.
 
-Timings are best-of-N subprocess runs per level (host noise is +-25%);
-both levels are taskset-pinned to exactly their core count.
+Both levels are taskset-pinned to exactly their core count (the small run's
+JVM would otherwise borrow idle cores and flatter local[{n}]).
 
 ## Executor-size sensitivity (separate observation, BENCH/FLEET.md)
 
@@ -308,7 +412,7 @@ BENCH/FLEET.md). The N-vs-4N criterion above scales the NUMBER of
 fixed-size executors, which is what this file evidences.
 
 Reproduce: `python jobs/kernel_contention.py && python jobs/scaling_bench.py --files {n_files} --n {n} --repeats 3`
-"""
+{HISTORY_MD}"""
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
@@ -319,8 +423,17 @@ Reproduce: `python jobs/kernel_contention.py && python jobs/scaling_bench.py --f
             {
                 "n": n,
                 "files": n_files,
+                "stat": "median_of_paired_ratios",
                 "efficiency_total": round(eff, 3),
                 "efficiency_chunk_sign": round(eff_cs, 3),
+                "pairs": [
+                    {
+                        "pair": p["pair"],
+                        "eff_chunk_sign": round(p["eff_chunk_sign"], 3),
+                        "eff_total": round(p["eff_total"], 3),
+                    }
+                    for p in pairs
+                ],
                 "contention_factor": factor,
                 "efficiency_chunk_sign_isolated": round(eff_cs_iso, 3) if factor else None,
                 "efficiency_total_isolated": round(eff_iso, 3) if factor else None,

@@ -238,3 +238,39 @@ def test_fused_chunk_and_sign_equals_separate_stages(spark):
     want_sigs = {r["file_id"]: (r["minhash"], r["simhash"], r["bands"], r["n_shingles"])
                  for r in sign(corpus, CFG).collect()}
     assert got_sigs == want_sigs
+
+
+def test_fused_index_and_file_keys_equal_split(spark):
+    """The fused frame's chunk_index and file_keys projections (incl. the
+    content sha carried on pos==0 rows) must equal split()'s — the tables
+    run_pipeline now derives from the single-pass stage."""
+    from libchunk_spark.operators.fused import (
+        chunk_and_sign,
+        fused_chunk_index,
+        fused_file_keys,
+    )
+
+    rows = generate_corpus(n_files=30, seed=14)
+    empty_file = spark.createDataFrame(  # + an empty file
+        [(9999, "r", "p", "c", "txt", "", 0, "x")],
+        "file_id long, repo string, path string, commit string, lang string, "
+        "content string, family long, kind string",
+    )
+    corpus = corpus_to_spark(spark, rows).unionByName(empty_file).cache()
+    fused = chunk_and_sign(corpus, CFG, keep_payload=True).cache()
+    sp = split(corpus, CFG.chunk, keep_payload=True)
+    got_idx = sorted(tuple(r) for r in fused_chunk_index(fused).collect())
+    want_idx = sorted(tuple(r) for r in sp.chunk_index.collect())
+    assert got_idx == want_idx
+    got_fk = sorted(
+        (r["file_id"], r["content_sha256"], r["n_chunks"], tuple(r["keys"]))
+        for r in fused_file_keys(fused).collect()
+    )
+    want_fk = sorted(
+        (r["file_id"], r["content_sha256"], r["n_chunks"], tuple(r["keys"]))
+        for r in sp.file_keys.collect()
+    )
+    assert got_fk == want_fk
+    # the empty file is present with zero chunks and the empty-string sha
+    empty = [fk for fk in got_fk if fk[0] == 9999]
+    assert empty and empty[0][2] == 0 and empty[0][3] == ()
