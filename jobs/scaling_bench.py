@@ -94,7 +94,12 @@ def _barrier(barrier_dir: str | None, n_ready: int | None = None) -> None:
         time.sleep(0.1)
 
 
-def worker(cpus: int, corpus_path: str, barrier_dir: str | None = None) -> None:
+def worker(
+    cpus: int,
+    corpus_path: str,
+    barrier_dir: str | None = None,
+    chunk_only: bool = False,
+) -> None:
     from pyspark.sql import functions as F
 
     from libchunk_spark.config import CORPUS_PIPELINE_CONFIG as CFG
@@ -110,8 +115,13 @@ def worker(cpus: int, corpus_path: str, barrier_dir: str | None = None) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # snappy parquet compresses the corpus into a handful of input splits;
     # repartition+cache so BOTH parallelism levels see cpus*4 even tasks
-    # (materialized before the timer starts)
-    corpus = spark.read.parquet(corpus_path).repartition(cpus * 4).cache()
+    # (materialized before the timer starts). corpus_path may be a comma-
+    # separated list of shard dirs (executor-count mode reads them all).
+    corpus = (
+        spark.read.parquet(*corpus_path.split(","))
+        .repartition(cpus * 4)
+        .cache()
+    )
     n_files = corpus.count()
     total_mb = (
         corpus.agg(F.sum(F.length("content")).alias("b")).first()["b"] / 1e6
@@ -138,16 +148,23 @@ def worker(cpus: int, corpus_path: str, barrier_dir: str | None = None) -> None:
         )
         chunk_sign_sec = time.time() - t0
 
-        t0 = time.time()
-        sigs = fused.where(F.col("pos") == 0).select(
-            "file_id", "minhash", "simhash", "bands", "n_shingles"
-        )
-        edges = minhash_candidate_edges(sigs, CFG).unionByName(
-            simhash_candidate_edges(sigs, CFG)
-        )
-        comp = connected_components(edges, all_nodes=corpus.select("file_id"))
-        n_clusters = comp.select("component").distinct().count()
-        cluster_sec = time.time() - t0
+        if chunk_only:
+            # executor-count mode times the map stage only: the cluster
+            # phase's cross-executor shuffle cannot be emulated by separate
+            # JVMs without a cluster manager (documented in EXECUTORS.md)
+            n_clusters = 0
+            cluster_sec = 0.0
+        else:
+            t0 = time.time()
+            sigs = fused.where(F.col("pos") == 0).select(
+                "file_id", "minhash", "simhash", "bands", "n_shingles"
+            )
+            edges = minhash_candidate_edges(sigs, CFG).unionByName(
+                simhash_candidate_edges(sigs, CFG)
+            )
+            comp = connected_components(edges, all_nodes=corpus.select("file_id"))
+            n_clusters = comp.select("component").distinct().count()
+            cluster_sec = time.time() - t0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -191,6 +208,36 @@ def _ensure_corpus(n_files: int) -> str:
     )
     spark.stop()
     return path
+
+
+def _ensure_corpus_shards(n_files: int, n_shards: int) -> list[str]:
+    """Pre-shard the benchmark corpus by hash into n_shards parquet dirs
+    (one-time; reused across rounds). Executor-count mode gives each
+    simulated executor one shard — the same rows a cluster's partitioner
+    would route to it — so no worker decodes bytes it doesn't process."""
+    base = _ensure_corpus(n_files)
+    paths = [
+        os.path.join(REPO, "BENCH", f"scaling_corpus_{n_files}_shard{i}of{n_shards}")
+        for i in range(n_shards)
+    ]
+    if all(os.path.exists(os.path.join(p, "_SUCCESS")) for p in paths):
+        return paths
+    from pyspark.sql import functions as F
+
+    from libchunk_spark.session import get_spark
+
+    spark = get_spark(app="scaling-shard", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = spark.read.parquet(base)
+    for i, p in enumerate(paths):
+        (
+            corpus.where(F.pmod(F.xxhash64("file_id"), F.lit(n_shards)) == i)
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(p)
+        )
+    spark.stop()
+    return paths
 
 
 def _loadavg() -> tuple[float, float, float]:
@@ -287,6 +334,195 @@ def _median(xs: list[float]) -> float:
     import statistics
 
     return statistics.median(xs)
+
+
+def _worker_cmd(cpus: int, corpus: str, pin: str | None,
+                chunk_only: bool = False, barrier: str | None = None) -> list[str]:
+    cmd = [
+        sys.executable, os.path.abspath(__file__),
+        "--cpus", str(cpus), "--corpus", corpus,
+    ]
+    if chunk_only:
+        cmd.append("--chunk-only")
+    if barrier:
+        cmd += ["--barrier", barrier]
+    if pin and shutil.which("taskset"):
+        cmd = ["taskset", "-c", pin] + cmd
+    return cmd
+
+
+def _parse_worker(out: str, err: str, what: str) -> dict:
+    lines = [l for l in out.splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(out[-2000:] + err[-4000:])
+        raise SystemExit(f"{what} produced no result")
+    return json.loads(lines[-1])
+
+
+def orchestrate_executors(n: int, n_files: int, repeats: int = 3,
+                          allow_loaded: bool = False) -> None:
+    """Executor-COUNT scaling analog (the north_rule's literal shape):
+    1 executor vs 4 executors, executor = a pinned local[n] JVM.
+
+    The single-master mode (orchestrate) compares local[n] vs local[4n] —
+    but a real cluster scales the NUMBER of fixed-size executors, not the
+    thread count of one JVM (BENCH/FLEET.md measured that one big local
+    master underperforms per-core: GC, scheduling, single-threaded
+    sections). Here the 4N level is FOUR separate pinned local[n] JVMs,
+    each processing the hash-shard of the corpus a cluster partitioner
+    would route to it, barrier-synchronized after warmup so the timed
+    windows coincide; wall time = slowest executor. The N level is one
+    pinned local[n] JVM over all four shards (same bytes).
+
+    Covers the MAP stage (fused chunk+sign — the north-star throughput
+    metric): its work is embarrassingly parallel across executors. The
+    cluster phase's cross-executor shuffle cannot be emulated by separate
+    JVMs without a cluster manager; its single-master ratio stays in
+    BENCH/BASELINE.md.
+
+    Levels run as interleaved adjacent pairs (same drift-immunity as
+    orchestrate); verdict = median of per-pair ratios.
+    """
+    if not allow_loaded:
+        _require_quiet_host()
+    shards = _ensure_corpus_shards(n_files, 4)
+    all_shards = ",".join(shards)
+    pairs: list[dict] = []
+    raw: dict[str, list] = {"single": [], "quad": []}
+    for i in range(repeats):
+        # side A: one executor, full corpus
+        single = _parse_worker(
+            *_run(_worker_cmd(n, all_shards, f"0-{n - 1}", chunk_only=True)),
+            what="single-executor worker",
+        )
+        single["loadavg_after"] = _loadavg()
+        print(json.dumps(single))
+        # side B: four executors, one shard each, synchronized start
+        bdir = tempfile.mkdtemp(prefix="exec_barrier_")
+        procs = []
+        for w in range(4):
+            cmd = _worker_cmd(
+                n, shards[w], f"{w * n}-{(w + 1) * n - 1}",
+                chunk_only=True, barrier=bdir,
+            )
+            procs.append(
+                subprocess.Popen(
+                    cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                    text=True, cwd=REPO,
+                )
+            )
+        t0 = time.time()
+        while True:
+            ready = [f for f in os.listdir(bdir) if f.startswith("ready_")]
+            if len(ready) >= 4:
+                break
+            if time.time() - t0 > 600:
+                for p in procs:
+                    p.kill()
+                raise SystemExit("executor warmup barrier timed out")
+            time.sleep(0.2)
+        open(os.path.join(bdir, "go"), "w").close()
+        nodes = []
+        for p in procs:
+            out, err = p.communicate(timeout=3600)
+            nodes.append(_parse_worker(out, err, "executor-quad worker"))
+        shutil.rmtree(bdir, ignore_errors=True)
+        quad = {
+            "executors": 4,
+            "chunk_sign_sec": max(x["chunk_sign_sec"] for x in nodes),
+            "files": sum(x["files"] for x in nodes),
+            "mb": round(sum(x["mb"] for x in nodes), 1),
+            "n_chunk_keys_sum": sum(x["n_chunk_keys"] for x in nodes),
+            "per_executor": nodes,
+            "loadavg_after": _loadavg(),
+        }
+        quad["files_per_sec_chunk_sign"] = round(
+            quad["files"] / quad["chunk_sign_sec"], 1
+        )
+        print(json.dumps({k: v for k, v in quad.items() if k != "per_executor"}))
+        assert quad["files"] == single["files"], "shards lost rows"
+        raw["single"].append(single)
+        raw["quad"].append(quad)
+        eff = (single["chunk_sign_sec"] * n) / (quad["chunk_sign_sec"] * 4 * n)
+        pairs.append({"pair": i, "eff_chunk_sign": eff})
+        print(json.dumps({"pair": i, "eff_chunk_sign": round(eff, 3)}))
+
+    eff_cs = _median([p["eff_chunk_sign"] for p in pairs])
+    best_s = min(r["chunk_sign_sec"] for r in raw["single"])
+    best_q = min(r["chunk_sign_sec"] for r in raw["quad"])
+    sfs = max(r["files_per_sec_chunk_sign"] for r in raw["single"])
+    qfs = max(r["files_per_sec_chunk_sign"] for r in raw["quad"])
+    pair_rows = "\n".join(
+        f"| {p['pair']} | {raw['single'][p['pair']]['chunk_sign_sec']} | "
+        f"{raw['quad'][p['pair']]['chunk_sign_sec']} | "
+        f"{p['eff_chunk_sign']:.3f} |"
+        for p in pairs
+    )
+    md = f"""# BENCH/EXECUTORS — executor-COUNT scaling (N vs 4N executors)
+
+The north_rule scales the NUMBER of fixed-size executors. This measurement
+is the literal sandbox analog: **1 executor vs 4 executors**, where an
+executor is a taskset-pinned local[{n}] JVM. The 4-executor level runs four
+separate JVMs, each on the corpus hash-shard a cluster partitioner would
+route to it ({raw['quad'][0]['files']} files / {raw['quad'][0]['mb']} MB
+total, identical to the single level), barrier-synchronized after warmup;
+wall time = slowest executor. Fused single-pass chunk+sign (the production
+put path and the north-star metric). Interleaved adjacent pairs, gate =
+median of per-pair ratios (same drift-immune design as BENCH/BASELINE.md).
+
+| pair | single exec sec | 4-exec wall sec | efficiency |
+|---|---|---|---|
+{pair_rows}
+
+**Executor-count scaling efficiency = median of paired ratios =
+{eff_cs:.3f}** (target >= 0.8 — {'MET' if eff_cs >= 0.8 else 'NOT met'}).
+Best single-executor chunk+sign {best_s} s ({sfs} files/s); best 4-executor
+wall {best_q} s ({qfs} files/s fleet).
+
+Why this differs from BENCH/BASELINE.md's single-master local[{4*n}] ratio:
+one JVM running {4*n} executor threads pays GC, scheduler and
+single-threaded-section costs that four {n}-core JVMs do not —
+BENCH/FLEET.md measured that penalty directly, and real clusters deploy
+many small executors for exactly this reason. Both numbers ship; this one
+answers the north_rule's question ("N and 4N executors"), the single-master
+one bounds the worst deployment shape.
+
+Scope: map stage only (chunk+sign). The clustering phase's cross-executor
+shuffle needs a cluster manager, which this sandbox does not have
+(BASELINE.md records the determination); its single-master scaling stays
+in BENCH/BASELINE.md.
+
+Per-executor raw runs + loadavg stamps: BENCH/raw_executors.json.
+Reproduce: `python jobs/scaling_bench.py --executors --files {n_files} --n {n} --repeats {repeats}`
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "EXECUTORS.md"), "w") as f:
+        f.write(md)
+    with open(os.path.join(REPO, "BENCH", "raw_executors.json"), "w") as f:
+        json.dump(raw, f, indent=1)
+    with open(os.path.join(REPO, "BENCH", "executors.json"), "w") as f:
+        json.dump(
+            {
+                "n": n,
+                "files": n_files,
+                "stat": "median_of_paired_ratios",
+                "efficiency_chunk_sign": round(eff_cs, 3),
+                "pairs": [
+                    {"pair": p["pair"], "eff_chunk_sign": round(p["eff_chunk_sign"], 3)}
+                    for p in pairs
+                ],
+            },
+            f,
+            indent=1,
+        )
+    print(f"executor-count efficiency={eff_cs:.3f} -> BENCH/EXECUTORS.md")
+
+
+def _run(cmd: list[str]) -> tuple[str, str]:
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=REPO, timeout=3600
+    )
+    return out.stdout, out.stderr
 
 
 def write_report(raw_runs: dict[str, list[dict]], pairs: list[dict],
@@ -591,6 +827,11 @@ if __name__ == "__main__":
     ap.add_argument("--n", type=int, default=4)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--fleet", action="store_true")
+    ap.add_argument("--executors", action="store_true",
+                    help="executor-COUNT scaling: 1 vs 4 pinned local[n] "
+                         "JVMs over hash shards (BENCH/EXECUTORS.md)")
+    ap.add_argument("--chunk-only", action="store_true",
+                    help="worker mode: time chunk+sign only")
     ap.add_argument(
         "--allow-loaded", action="store_true",
         help="measure even when the host loadavg says the window is "
@@ -598,9 +839,13 @@ if __name__ == "__main__":
     )
     args = ap.parse_args()
     if args.cpus:
-        worker(args.cpus, args.corpus or _ensure_corpus(args.files), args.barrier)
+        worker(args.cpus, args.corpus or _ensure_corpus(args.files),
+               args.barrier, chunk_only=args.chunk_only)
     elif args.fleet:
         orchestrate_fleet(args.n, args.files, args.repeats)
+    elif args.executors:
+        orchestrate_executors(args.n, args.files, args.repeats,
+                              allow_loaded=args.allow_loaded)
     else:
         orchestrate(args.n, args.files, args.repeats,
                     allow_loaded=args.allow_loaded)
