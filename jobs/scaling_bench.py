@@ -479,13 +479,14 @@ median of per-pair ratios (same drift-immune design as BENCH/BASELINE.md).
 Best single-executor chunk+sign {best_s} s ({sfs} files/s); best 4-executor
 wall {best_q} s ({qfs} files/s fleet).
 
-Why this differs from BENCH/BASELINE.md's single-master local[{4*n}] ratio:
-one JVM running {4*n} executor threads pays GC, scheduler and
-single-threaded-section costs that four {n}-core JVMs do not —
-BENCH/FLEET.md measured that penalty directly, and real clusters deploy
-many small executors for exactly this reason. Both numbers ship; this one
-answers the north_rule's question ("N and 4N executors"), the single-master
-one bounds the worst deployment shape.
+Read this TOGETHER with BENCH/BASELINE.md's single-master local[{4*n}]
+ratio and BENCH/kernel_contention.json: the two 16-core deployment shapes
+bracket the same machine-level envelope, and the pure-kernel contention
+factor says how much of the gap is (not) in the compute kernels. Whichever
+shape wins, the binding constraint at 4N busy cores on ONE box — memory
+bandwidth, I/O, JVM/IPC concurrency — is shared by every core here but
+NOT shared between the separate machines of a real N-vs-4N cluster, which
+is why both raw numbers are conservative lower bounds for cluster scaling.
 
 Scope: map stage only (chunk+sign). The clustering phase's cross-executor
 shuffle needs a cluster manager, which this sandbox does not have
