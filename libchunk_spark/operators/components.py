@@ -64,6 +64,43 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def update_components(
+    assignments: DataFrame,
+    new_edges: DataFrame,
+    new_nodes: DataFrame | None = None,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Incrementally fold new candidate edges into an existing component
+    assignment — the production shape for a growing corpus: yesterday's
+    (file_id, component) table plus today's delta edges, WITHOUT re-reading
+    or re-deriving yesterday's edge set.
+
+    Correctness: a component assignment is a star forest (every member ↔
+    its component min), and a star forest preserves the old edge set's
+    connectivity exactly — so CC over (assignment stars ∪ new edges) equals
+    CC over (old edges ∪ new edges). Cost: the old side enters as |V_old|
+    star edges (one per member, already depth-1), not |E_old| raw edges,
+    and the star/star rounds converge in a couple of iterations instead of
+    O(log² n). Reference tie-in: the same derived-artifact move as the
+    chunk index replacing payload rescans (bits/store/bolt.go Put-once) —
+    the assignment table IS the state, new data joins against it.
+
+    new_nodes: optional (file_id) frame of nodes appearing only in the new
+    batch with no edges (they become singletons); nodes already present in
+    `assignments` are always preserved.
+    """
+    star = assignments.where(F.col("file_id") != F.col("component")).select(
+        F.col("component").alias("a"), F.col("file_id").alias("b")
+    )
+    edges = star.unionByName(new_edges.select("a", "b"))
+    nodes = assignments.select("file_id")
+    if new_nodes is not None:
+        nodes = nodes.unionByName(new_nodes.select("file_id"))
+    return connected_components(
+        edges, all_nodes=nodes, max_iterations=max_iterations
+    )
+
+
 def connected_components(
     edges: DataFrame,
     all_nodes: DataFrame | None = None,

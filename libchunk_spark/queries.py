@@ -500,6 +500,35 @@ def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("file_id").alias("doc_id"), "component")
 
 
+def q_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental clustering: yesterday's assignment + today's delta edges
+    must equal the full-batch answer — exercised end-to-end and checked
+    against the same recursive-CTE oracle as `components`.
+
+    The growing-corpus production shape (operators.components.
+    update_components): the "old" corpus is the even doc_ids, clustered
+    alone; the "new" batch is the odd doc_ids, whose candidate edges (every
+    pair touching an odd doc) are folded into the existing assignment as
+    star edges ∪ delta — no old edge is re-derived or re-read. At 10^12
+    files this replaces a full re-cluster with work proportional to
+    |old vertices| + |delta edges|.
+    """
+    from libchunk_spark.operators.components import (
+        connected_components,
+        update_components,
+    )
+
+    pairs = q_lsh_band_pairs(spark, sf_dir).select("a", "b")
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("file_id"))
+    old_nodes = docs.where(F.col("file_id") % 2 == 0)
+    new_nodes = docs.where(F.col("file_id") % 2 == 1)
+    old_edges = pairs.where((F.col("a") % 2 == 0) & (F.col("b") % 2 == 0))
+    delta_edges = pairs.where((F.col("a") % 2 == 1) | (F.col("b") % 2 == 1))
+    base = connected_components(old_edges, all_nodes=old_nodes)
+    final = update_components(base, delta_edges, new_nodes=new_nodes)
+    return final.select(F.col("file_id").alias("doc_id"), "component")
+
+
 SQL_COMPONENTS = f"""
 WITH RECURSIVE pairs AS ({SQL_LSH_BAND_PAIRS}),
 edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
@@ -1370,6 +1399,8 @@ QUERIES = {
     "lsh_band_pairs": (q_lsh_band_pairs, SQL_LSH_BAND_PAIRS),
     "simhash32": (q_simhash32, SQL_SIMHASH32),
     "components": (q_components, SQL_COMPONENTS),
+    # incremental update must reproduce the batch answer exactly
+    "components_incremental": (q_components_incremental, SQL_COMPONENTS),
     "dedup_verdicts": (q_dedup_verdicts, SQL_DEDUP_VERDICTS),
     "event_window_stats": (q_event_window_stats, SQL_EVENT_WINDOW_STATS),
     "event_dups": (q_event_dups, SQL_EVENT_DUPS),

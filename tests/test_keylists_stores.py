@@ -182,6 +182,30 @@ def test_topk_ivf_percell_stage_not_aqe_collapsed(spark):
     df.collect()  # and it executes
 
 
+def test_pq_topk_ivf_percell_stage_plan(spark):
+    """IVFADC plan hygiene: the cell-pruning filter reaches the code-table
+    side BEFORE the shuffle, the per-cell ADC stage keeps its explicit
+    AQE-exempt partitioning, and the scan stages are Arrow (no per-row
+    Python)."""
+    import numpy as np
+
+    from libchunk_spark.operators.pq import pq_topk_ivf
+
+    rng = np.random.default_rng(6)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(96)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df = pq_topk_ivf(
+        emb, emb.where("vec_id % 16 = 0"), k=2, m=4, n_codes=16,
+        shortlist=8, n_cells=4, nprobe=2,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan, plan  # AQE-exempt per-cell width
+    assert "FlatMapGroupsInPandas" in plan  # the per-cell ADC scorer
+    assert "cell" in plan and " IN " in plan.replace("INPUT", ""), plan
+    assert "BatchEvalPython" not in plan  # nothing row-at-a-time
+    df.collect()  # and it executes
+
+
 def test_move_bloom_equals_exact_antijoin(spark):
     """Bloom-pruned push must equal the exact anti-join byte-for-byte —
     including under forced false positives (tiny filter), which phase 2's

@@ -142,6 +142,49 @@ def test_connected_components_matches_union_find(spark, seed):
     assert got == want
 
 
+@pytest.mark.parametrize("seed", [7, 8])
+def test_update_components_equals_full_recluster(spark, seed):
+    """Incremental clustering (assignment stars ∪ delta edges) must equal a
+    full batch re-cluster on random graphs split into old/new halves —
+    including mergers of pre-existing old clusters through new nodes."""
+    from libchunk_spark.operators.components import update_components
+
+    rng = np.random.default_rng(seed)
+    n = 140
+    m = int(rng.integers(60, 240))
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, n, size=(m, 2))
+        if a != b
+    ]
+    half = n // 2
+    old_e = [(a, b) for a, b in edges if a < half and b < half]
+    delta = [(a, b) for a, b in edges if a >= half or b >= half]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "file_id long")
+    old_nodes = nodes.where(f"file_id < {half}")
+    new_nodes = nodes.where(f"file_id >= {half}")
+    base = connected_components(
+        spark.createDataFrame(old_e or [(0, 0)], "a long, b long"),
+        all_nodes=old_nodes,
+    )
+    got = {
+        r["file_id"]: r["component"]
+        for r in update_components(
+            base,
+            spark.createDataFrame(delta or [(0, 0)], "a long, b long"),
+            new_nodes=new_nodes,
+        ).collect()
+    }
+    want = {
+        r["file_id"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(edges or [(0, 0)], "a long, b long"),
+            all_nodes=nodes,
+        ).collect()
+    }
+    assert got == want
+
+
 def test_connected_components_chain_converges(spark):
     """Long path graph — worst case for naive propagation."""
     n = 200
