@@ -168,6 +168,115 @@ def start_neardup_flagging(
     )
 
 
+def start_incremental_clustering(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    pipeline_cfg,
+    band_freq_cap: int = 4096,
+):
+    """Streaming cluster maintenance: each micro-batch of new corpus files
+    updates a persistent (file_id, component) assignment WITHOUT
+    re-clustering the corpus.
+
+    State = two tables under state_dir: `signatures` (append-only band
+    index) and `components` (the current assignment). Per batch:
+      1. sign the new files (map-only, one content pass);
+      2. candidate edges touching the batch: new↔new via an in-batch band
+         self-join, new↔old via a band join against the signature index
+         (bands hotter than `band_freq_cap` in the index are skipped — the
+         same guard as start_neardup_flagging; raise the cap when exact
+         batch-equality matters more than boilerplate-band fan-out);
+      3. operators.components.update_components folds the delta into the
+         existing assignment (old side enters as |V_old| star edges — no
+         old edge is re-derived);
+      4. the assignment is localCheckpoint-materialized, then overwritten;
+         new signatures append to the index. At catalog scale the
+         overwrite becomes a partition-pruned MERGE (only rows whose
+         component changed — sources/catalog.merge_append is the seam).
+
+    Equality contract (tested): after draining, `components` equals the
+    batch connected-components over the full corpus's band-sharing pairs.
+    Old↔old pairs never need revisiting: their connectivity is carried by
+    the assignment stars, the exactness argument of update_components.
+    """
+    import os as _os
+
+    from pyspark.sql import Window
+
+    from libchunk_spark.operators.components import (
+        connected_components,
+        update_components,
+    )
+    from libchunk_spark.operators.sign import sign
+
+    sig_path = _os.path.join(state_dir, "signatures")
+    comp_path = _os.path.join(state_dir, "components")
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        ss = batch.sparkSession
+        sigs = sign(batch, pipeline_cfg)
+        new_bands = sigs.select(
+            "file_id", F.posexplode("bands").alias("band", "band_hash")
+        )
+        l, r = new_bands.alias("l"), new_bands.alias("r")
+        edges = (
+            l.join(r, ["band", "band_hash"])
+            .where(F.col("l.file_id") < F.col("r.file_id"))
+            .select(
+                F.col("l.file_id").alias("a"), F.col("r.file_id").alias("b")
+            )
+        )
+        new_nodes = batch.select("file_id")
+        if _os.path.exists(sig_path):
+            idx_bands = (
+                ss.read.parquet(sig_path)
+                .select(
+                    F.col("file_id").alias("old_id"),
+                    F.posexplode("bands").alias("band", "band_hash"),
+                )
+            )
+            w = Window.partitionBy("band", "band_hash")
+            idx_bands = (
+                idx_bands.withColumn("bf", F.count("*").over(w))
+                .where(F.col("bf") <= band_freq_cap)
+                .drop("bf")
+            )
+            cross = (
+                new_bands.join(idx_bands, ["band", "band_hash"])
+                .select(
+                    F.least("file_id", "old_id").alias("a"),
+                    F.greatest("file_id", "old_id").alias("b"),
+                )
+            )
+            edges = edges.unionByName(cross)
+        edges = edges.dropDuplicates(["a", "b"])
+        if _os.path.exists(comp_path):
+            assignment = ss.read.parquet(comp_path)
+            comp = update_components(assignment, edges, new_nodes=new_nodes)
+        else:
+            comp = connected_components(edges, all_nodes=new_nodes)
+        # materialize off the input table before overwriting it
+        comp = comp.localCheckpoint()
+        comp.write.mode("overwrite").parquet(comp_path)
+        sigs.write.mode("append").parquet(sig_path)
+
+    stream = (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_stats_stream(
     spark: SparkSession,
     source_dir: str,

@@ -102,6 +102,57 @@ def test_stateful_sessionization_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_incremental_clustering_matches_batch(spark, tmp_path):
+    """Streaming cluster maintenance: replaying the corpus in three
+    micro-batches and folding each batch's delta edges into the persistent
+    assignment must end at exactly the batch connected-components answer
+    over the full corpus's band-sharing pairs."""
+    from libchunk_spark.operators.components import connected_components
+    from libchunk_spark.operators.sign import sign
+    from libchunk_spark.streaming.ingest import start_incremental_clustering
+
+    src = str(tmp_path / "incoming")
+    state = str(tmp_path / "state")
+    os.makedirs(src)
+    rows = generate_corpus(n_files=60, seed=21)
+    df = corpus_to_spark(spark, rows).select(
+        "file_id", "repo", "path", "commit", "lang", "content"
+    )
+    # NON-contiguous thirds so near-dup families straddle batches
+    for i in range(3):
+        df.where(f"file_id % 3 = {i}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/{i:03d}.batch")
+    q = start_incremental_clustering(
+        spark, f"{src}/*", str(tmp_path / "ckpt"), state, CFG
+    )
+    assert q.awaitTermination(180)
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{state}/components").collect()
+    )
+    bands = sign(df, CFG).select(
+        "file_id", F.posexplode("bands").alias("band", "band_hash")
+    )
+    l, r = bands.alias("l"), bands.alias("r")
+    pairs = (
+        l.join(r, ["band", "band_hash"])
+        .where(F.col("l.file_id") < F.col("r.file_id"))
+        .select(F.col("l.file_id").alias("a"), F.col("r.file_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    want = sorted(
+        tuple(r)
+        for r in connected_components(
+            pairs, all_nodes=df.select("file_id")
+        ).collect()
+    )
+    assert got == want
+    # the signature index accumulated every file exactly once
+    assert spark.read.parquet(f"{state}/signatures").count() == 60
+
+
 @pytest.fixture(scope="module")
 def media(spark):
     rows = [
