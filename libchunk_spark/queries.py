@@ -1056,6 +1056,100 @@ FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
 """
 
 
+def q_quality_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate composed from the repetition metrics:
+    keep a doc iff it is long enough and not repetition-dominated
+    (n_words >= 20, top_word_frac <= 0.12, dup_word_frac <= 0.9 —
+    thresholds chosen to split this corpus's distribution, exercising both
+    verdicts). The pre-dedup drop pass of an LLM training pipeline; same
+    math on both engines keeps the oracle byte-equal."""
+    r = q_repetition_stats(spark, sf_dir)
+    return r.select(
+        "doc_id",
+        (
+            (F.col("n_words") >= 20)
+            & (F.col("top_word_frac") <= 0.12)
+            & (F.col("dup_word_frac") <= 0.9)
+        ).alias("keep"),
+    )
+
+
+SQL_QUALITY_VERDICTS = f"""
+WITH r AS ({SQL_REPETITION_STATS})
+SELECT doc_id,
+       (n_words >= 20 AND top_word_frac <= 0.12 AND dup_word_frac <= 0.9)
+       AS keep
+FROM r
+"""
+
+
+DECONTAM_W = 5  # word-shingle width; production pipelines use ~13 tokens
+
+
+def q_decontam_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-vs-eval decontamination: flag every training doc that
+    shares at least one `DECONTAM_W`-word shingle with the held-out eval
+    set (docs with doc_id % 97 == 0 stand in for a benchmark suite).
+
+    The canonical pre-training hygiene pass (n-gram overlap decontamination
+    as used for GPT-3/PaLM-style training sets, from the public
+    descriptions). Scale shape: eval sets are tiny relative to the corpus,
+    so the distinct eval-shingle set BROADCASTS and the corpus side is one
+    map-side semi-join over exploded shingles — no shuffle of the training
+    corpus at any size; the contaminated-doc set collapses with a distinct
+    on doc_id (bounded by corpus row count, not shingle count).
+    """
+    docs = _docs(spark, sf_dir)
+    t = _tokens()
+    w = DECONTAM_W
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(t) >= w,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - w),
+                    lambda i: F.concat_ws(" ", F.slice(t, i + 1, w)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    is_eval = F.col("doc_id") % 97 == 0
+    eval_grams = grams.where(is_eval).select("g").distinct()
+    hits = (
+        grams.where(~is_eval)
+        .join(F.broadcast(eval_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        docs.where(~is_eval)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("hit", F.lit(False)).alias("contaminated")
+        )
+    )
+
+
+SQL_DECONTAM_FLAGS = f"""
+WITH grams AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       LATERAL (SELECT unnest(range(1, len(t) - {DECONTAM_W - 2})) AS i)
+  WHERE len(t) >= {DECONTAM_W}
+),
+eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+SELECT d.doc_id,
+       d.doc_id IN (
+         SELECT DISTINCT doc_id FROM grams
+         WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM eval_grams)
+       ) AS contaminated
+FROM documents d WHERE d.doc_id % 97 <> 0
+"""
+
+
 def q_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex token counting (words / numbers / punctuation runs).
 
@@ -1410,6 +1504,8 @@ QUERIES = {
     "cosine_pairs": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_signlsh": (q_ann_signlsh, SQL_ANN_SIGNLSH),
     "regex_tokens": (q_regex_tokens, SQL_REGEX_TOKENS),
+    "decontam_flags": (q_decontam_flags, SQL_DECONTAM_FLAGS),
+    "quality_verdicts": (q_quality_verdicts, SQL_QUALITY_VERDICTS),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),  # recall-floor contract vs exact set
     "emb_dedup_verdicts": (q_emb_dedup_verdicts, SQL_EMB_DEDUP_VERDICTS),
