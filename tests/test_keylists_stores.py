@@ -182,6 +182,18 @@ def test_topk_ivf_percell_stage_not_aqe_collapsed(spark):
     df.collect()  # and it executes
 
 
+def test_decontam_eval_side_broadcasts(spark):
+    """Decontamination plan hygiene: the eval shingle set must reach the
+    corpus side as a broadcast LEFT-SEMI join — the training corpus is
+    never shuffled, the property that makes the op free at 100 TB."""
+    from libchunk_spark.queries import q_decontam_flags
+
+    df = q_decontam_flags(spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0], plan
+
+
 def test_pq_topk_ivf_percell_stage_plan(spark):
     """IVFADC plan hygiene: the cell-pruning filter reaches the code-table
     side BEFORE the shuffle, the per-cell ADC stage keeps its explicit
