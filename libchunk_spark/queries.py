@@ -345,6 +345,78 @@ WHERE round(inter / CAST(na.sz + nb.sz - inter AS DOUBLE), 4) >= {NGRAM_JACCARD_
 """
 
 
+NGRAM_CONTAINMENT_THRESHOLD = 0.8
+
+
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs: max-containment
+    |A∩B| / min(|A|, |B|) >= threshold over the same df-capped word-3gram
+    sets as q_ngram_jaccard_pairs.
+
+    Catches the quote-inclusion / partial-copy cases symmetric Jaccard
+    misses: a short doc fully embedded in a long one has containment 1.0
+    but Jaccard ~ |A|/|B|. Same bounded gram self-join (df cap reused as a
+    window count), so the plan's cost envelope is identical to the Jaccard
+    query; only the denominator changes.
+    """
+    from pyspark.sql import Window
+
+    grams_all = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(_grams3()).alias("gram"))
+    )
+    grams = (
+        grams_all.withColumn(
+            "df", F.count("*").over(Window.partitionBy("gram"))
+        )
+        .where(F.col("df") <= NGRAM_DF_CAP)
+        .drop("df")
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    l = grams.alias("l")
+    r = grams.alias("r")
+    inter = (
+        l.join(r, "gram")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(
+            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("nb")), "b")
+        .withColumn(
+            "cont",
+            F.round(F.col("inter") / F.least("na", "nb"), 4),
+        )
+        .where(F.col("cont") >= NGRAM_CONTAINMENT_THRESHOLD)
+        .select("a", "b", "cont")
+    )
+
+
+SQL_NGRAM_CONTAINMENT_PAIRS = f"""
+WITH grams_all AS ({_SQL_GRAMS3}),
+grams AS (
+  SELECT doc_id, gram FROM grams_all
+  WHERE gram IN (SELECT gram FROM grams_all GROUP BY gram
+                 HAVING count(*) <= {NGRAM_DF_CAP})
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+  FROM grams l JOIN grams r ON l.gram = r.gram AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b,
+       round(inter / CAST(least(na.sz, nb.sz) AS DOUBLE), 4) AS cont
+FROM inter
+JOIN sizes na ON na.doc_id = a
+JOIN sizes nb ON nb.doc_id = b
+WHERE round(inter / CAST(least(na.sz, nb.sz) AS DOUBLE), 4) >= {NGRAM_CONTAINMENT_THRESHOLD}
+"""
+
+
 def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per doc with all N_PERMS_SQL mins as columns (mh0..mh15).
 
@@ -1489,6 +1561,9 @@ QUERIES = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "ngram_containment_pairs": (
+        q_ngram_containment_pairs, SQL_NGRAM_CONTAINMENT_PAIRS,
+    ),
     "minhash": (q_minhash_sql, SQL_MINHASH),
     "lsh_band_pairs": (q_lsh_band_pairs, SQL_LSH_BAND_PAIRS),
     "simhash32": (q_simhash32, SQL_SIMHASH32),

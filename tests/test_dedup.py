@@ -64,6 +64,37 @@ def test_min_id_policy_deterministic(setup):
     assert a == b
 
 
+def test_ngram_containment_catches_partial_copy(spark, tmp_path):
+    """Asymmetric containment must flag a doc embedded in a larger one
+    (containment ~1.0) that symmetric Jaccard misses at the same threshold
+    — the quote-inclusion case the operator exists for."""
+    import pandas as pd
+
+    from libchunk_spark.queries import (
+        q_ngram_containment_pairs,
+        q_ngram_jaccard_pairs,
+    )
+
+    small = " ".join(f"tok{i}" for i in range(20))
+    # jaccard(small, big) = 18/(18 + 218 - 18) ≈ 0.083 < the 0.2 threshold
+    big = small + " " + " ".join(f"pad{i}" for i in range(200))
+    other = " ".join(f"zzz{i}" for i in range(20))
+    pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [small, big, other]}
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+    cont = {
+        (r["a"], r["b"]) for r in q_ngram_containment_pairs(
+            spark, str(tmp_path)).collect()
+    }
+    jac = {
+        (r["a"], r["b"]) for r in q_ngram_jaccard_pairs(
+            spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) in cont  # small fully embedded in big
+    assert (1, 2) not in jac  # jaccard ~18/78 — under any sane threshold
+    assert not any(3 in p for p in cont)  # unrelated doc untouched
+
+
 def test_exact_groups_by_key_list(setup):
     rows, corpus, _ = setup
     res = split(corpus, CFG.chunk)
