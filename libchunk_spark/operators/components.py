@@ -3,8 +3,20 @@
 Alternating large-star / small-star (Kiveris et al., "Connected Components
 in MapReduce and Beyond") — O(log^2 n) rounds, skew-tolerant because every
 round's groupBy(min) is a partial aggregation (map-side combine absorbs hot
-nodes). Each round localCheckpoints to truncate lineage (SURVEY.md §4 —
-no Catalyst primitive exists for iteration).
+nodes). Each round checkpoints to truncate lineage (SURVEY.md §4 — no
+Catalyst primitive exists for iteration).
+
+Round cost model (VERDICT r04 next #3/#6): shuffle width is tuned to the
+live edge count (~500k edges per partition, floor 8) via EXPLICIT
+`repartition(width, keys)` on each star's inputs — never by mutating the
+session-global `spark.sql.shuffle.partitions`, which races with concurrent
+queries (a streaming micro-batch planning while a batch query runs would
+read the tuned value). Because `repartition(n, key)` hash-partitions on the
+join/groupBy key, the downstream HashAggregate and SortMergeJoin reuse that
+distribution — one exchange per star instead of three. Each round issues a
+SINGLE Spark action: the round's result is localCheckpoint(eager=False) and
+the convergence-signature aggregate materializes the checkpoint blocks as a
+side effect of computing (count, bit_xor hash).
 
 Result: (file_id, component) where component = min file_id of the cluster,
 plus singleton components for vertices given in `all_nodes`.
@@ -16,22 +28,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _canonical(edges: DataFrame) -> DataFrame:
+def _canonical(edges: DataFrame, width: int | None = None) -> DataFrame:
     """Undirected edge set as (a<b) canonical pairs, self-loops dropped."""
-    return (
-        edges.select(
-            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-        )
-        .where(F.col("a") != F.col("b"))
-        .dropDuplicates(["a", "b"])
-    )
+    out = edges.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).where(F.col("a") != F.col("b"))
+    if width is not None:
+        # hash(a,b) partitioning is exactly what dropDuplicates needs, so the
+        # explicit width replaces (not precedes) the dedupe's own exchange
+        out = out.repartition(width, "a", "b")
+    return out.dropDuplicates(["a", "b"])
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, width: int | None = None) -> DataFrame:
     """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u})."""
     nbrs = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
+    if width is not None:
+        nbrs = nbrs.repartition(width, "a")
     mins = nbrs.groupBy("a").agg(F.min("b").alias("mb")).select(
         "a", F.least("mb", "a").alias("m")
     )
@@ -42,11 +57,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, width: int | None = None) -> DataFrame:
     """Connect every smaller-or-equal neighbor of u (and u) to the min."""
     nbrs = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).where(F.col("b") <= F.col("a"))
+    if width is not None:
+        nbrs = nbrs.repartition(width, "a")
     mins = nbrs.groupBy("a").agg(F.min("b").alias("m"))
     return (
         nbrs.join(mins, "a")
@@ -87,7 +104,10 @@ def update_components(
 
     new_nodes: optional (file_id) frame of nodes appearing only in the new
     batch with no edges (they become singletons); nodes already present in
-    `assignments` are always preserved.
+    `assignments` are always preserved. Every `new_edges` endpoint is also
+    unioned into the node frame (ADVICE r04: a caller passing an edge whose
+    endpoint is in neither frame must not silently lose that row from the
+    returned assignment).
     """
     star = assignments.where(F.col("file_id") != F.col("component")).select(
         F.col("component").alias("a"), F.col("file_id").alias("b")
@@ -96,6 +116,10 @@ def update_components(
     nodes = assignments.select("file_id")
     if new_nodes is not None:
         nodes = nodes.unionByName(new_nodes.select("file_id"))
+    endpoints = new_edges.select(F.col("a").alias("file_id")).unionByName(
+        new_edges.select(F.col("b").alias("file_id"))
+    )
+    nodes = nodes.unionByName(endpoints)
     return connected_components(
         edges, all_nodes=nodes, max_iterations=max_iterations
     )
@@ -111,33 +135,30 @@ def connected_components(
     all_nodes: optional (file_id) DataFrame — nodes with no edges become
     singleton components. Raises if not converged in max_iterations.
 
-    The loop runs ~5 shuffle stages per round, so per-stage overhead
-    dominates on small edge sets: shuffle parallelism is auto-tuned to the
-    live edge count (~500k edges per partition, floor 8) and restored after.
+    Per-stage overhead dominates on small edge sets, so shuffle width is
+    tuned to the live edge count (~500k edges/partition, floor 8) with
+    explicit repartition widths (session-conf-free, see module docstring)
+    and each round runs as one Spark job (lazy checkpoint materialized by
+    the signature aggregate).
     """
     spark = edges.sparkSession
-    cur = _canonical(edges).localCheckpoint()
+    cur = _canonical(edges).localCheckpoint(eager=False)
+    n0, _ = _signature(cur)  # one job: materializes cur + counts edges
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    width = max(8, min(default_parts, n0 // 500_000 + 1))
     prev_sig = None
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        n0, _ = _signature(cur)
-        tuned = max(8, min(int(old_parts), n0 // 500_000 + 1))
-        spark.conf.set("spark.sql.shuffle.partitions", str(tuned))
-        for _ in range(max_iterations):
-            # eager checkpoint + signature scan measures the same as a lazy
-            # checkpoint materialized by the signature (tried in round 3):
-            # the post-checkpoint scan is block-local and cheap either way
-            cur = _canonical(_small_star(_large_star(cur))).localCheckpoint()
-            sig = _signature(cur)
-            if sig == prev_sig:
-                break
-            prev_sig = sig
-        else:
-            raise RuntimeError(
-                f"connected components: no fixpoint in {max_iterations} rounds"
-            )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    for _ in range(max_iterations):
+        cur = _canonical(
+            _small_star(_large_star(cur, width), width), width
+        ).localCheckpoint(eager=False)
+        sig = _signature(cur)  # single action per round (see module doc)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected components: no fixpoint in {max_iterations} rounds"
+        )
 
     # at fixpoint the edge set is a star forest rooted at each component min
     assign = cur.select(F.col("b").alias("file_id"), F.col("a").alias("component"))

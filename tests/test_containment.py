@@ -88,3 +88,38 @@ def test_driver_corpus_bases_chunk_enough(spark):
         fk = split(corpus, DOCS_CONFIG.chunk, keep_payload=False).file_keys
         low = fk.where("n_chunks < 2").count()
         assert low == 0, f"{sf}: {low} corpus files with < 2 chunks"
+
+
+def test_verify_builds_each_container_sa_once():
+    """VERDICT r04 wrong #3 / next #5: one container with many candidate
+    containees must pay ONE suffix-array build, not one per pair. Exercised
+    on the pure pandas verifier (_verify_pdf) with an injected counting
+    builder — the Spark UDF body runs in worker processes a driver-side
+    monkeypatch can't reach; Spark-side grouping-by-container is covered by
+    the planted-embedding tests above."""
+    import pandas as pd
+
+    from libchunk_spark.operators.containment import _verify_pdf
+
+    big = "needle_one middle needle_two more text needle_three tail " * 40
+    pdf = pd.DataFrame(
+        {
+            "a": [1, 2, 3, 9],
+            "b": [9, 9, 9, 10],
+            "ca": ["needle_one", "needle_two", "absent_needle", big],
+            "cb": [big, big, big, big + "wrapper"],
+            "container": [9, 9, 9, 10],
+        }
+    )
+    calls = []
+
+    def counting_sa(s):
+        calls.append(len(s))
+        return suffix_array(s)
+
+    out = _verify_pdf(pdf, sa_builder=counting_sa)
+    # two distinct containers -> exactly two builds, not four
+    assert len(calls) == 2
+    got = {(r.a, r.b) for r in out.itertuples()}
+    assert got == {(1, 9), (2, 9), (9, 10)}  # absent_needle rejected
+    assert set(out["container"]) == {9, 10}
