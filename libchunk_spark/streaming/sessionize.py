@@ -30,15 +30,19 @@ instead of growing forever. Semantics notes: (a) the watermark makes the
 lateness contract global (an event older than ``global max ts - lateness``
 is dropped by Spark before reaching the operator), so choose
 ``idle_timeout_sec > lateness_sec >=`` the worst cross-user skew; (b) a user
-who returns AFTER eviction restarts session numbering at 0 — downstream
-sinks that must survive eviction should key sessions by (user_id,
-first_event) rather than (user_id, session_idx).
+who returns AFTER eviction restarts session numbering at 0 — which is why
+every output row carries `session_start` (the session's first event-time
+epoch, fixed at session open) and the shipped `latest_sessions` sink keys
+by (user_id, session_start): post-eviction sessions necessarily start
+later than every finalized one, so they can never overwrite finalized rows
+(ADVICE r04 — the previous (user_id, session_idx) keying embodied exactly
+that footgun).
 
 CHECKPOINT COMPATIBILITY (ADVICE r03): applyInPandasWithState has no
 state-schema evolution. _STATE_SCHEMA changed in round 3 (added max_seen,
-pend_epochs, pend_ids); resuming from a checkpoint written by an earlier
-build fails or misparses state. Discard old checkpoint dirs when upgrading
-across a state-schema change.
+pend_epochs, pend_ids) and round 5 (added session_start); resuming from a
+checkpoint written by an earlier build fails or misparses state. Discard
+old checkpoint dirs when upgrading across a state-schema change.
 
 Reference tie-in: the streaming generalization of the reference's
 incremental chunker state machine (vendor/.../chunker.go:202-327 — bounded
@@ -67,14 +71,19 @@ EVENTS_SCHEMA = (
     "event_type string, value double, props string"
 )
 
-_OUT_SCHEMA = "user_id long, session_idx long, n_events long, first_event long"
+_OUT_SCHEMA = (
+    "user_id long, session_idx long, n_events long, first_event long, "
+    "session_start long"
+)
 _STATE_SCHEMA = (
     "last_epoch long, session_idx long, n_events long, first_event long, "
+    "session_start long, "
     "max_seen long, pend_epochs array<long>, pend_ids array<long>"
 )
 
 SESSION_GAP_SEC = 1800
 _NONE = -1  # sentinel: no finalized epoch yet (epochs are positive)
+_OUT_COLS = ["user_id", "session_idx", "n_events", "first_event", "session_start"]
 
 
 def _fold_sessions(
@@ -85,10 +94,23 @@ def _fold_sessions(
     session_idx: int,
     n_events: int,
     first_event: int,
-) -> tuple[list[tuple], int, int, int, int]:
+    session_start: int,
+) -> tuple[list[tuple], int, int, int, int, int]:
     """Fold event-time-sorted finalized events into sessions, continuing
     from the cross-batch state. Returns (emitted rows, new last_epoch,
-    new session_idx, new n_events, new first_event)."""
+    new session_idx, new n_events, new first_event, new session_start).
+
+    session_start = event-time epoch of the session's FIRST event — fixed
+    once the session opens (events fold in event-time order, and a
+    regression behind last_epoch raises upstream), so it is a stable
+    cross-batch key for the session. Unlike session_idx it also survives
+    idle-state eviction: a user who returns after eviction restarts
+    session_idx at 0, but their new session necessarily starts at a LATER
+    epoch than every finalized one (the watermark that fired the eviction
+    is ahead of them), so (user_id, session_start) can never collide with
+    an already-emitted row (ADVICE r04: the shipped latest_sessions sink
+    keyed by (user_id, session_idx) silently overwrote finalized sessions
+    on a user's return)."""
     order = np.argsort(epochs, kind="stable")
     epochs, event_ids = epochs[order], event_ids[order]
 
@@ -106,10 +128,12 @@ def _fold_sessions(
         if s == session_idx and n_events > 0:
             cnt = n_events + int(mask.sum())
             first = min(first_event, int(event_ids[mask].min()))
+            start = session_start
         else:
             cnt = int(mask.sum())
             first = int(event_ids[mask].min())
-        rows.append((user_id, int(s), cnt, first))
+            start = int(epochs[mask].min())
+        rows.append((user_id, int(s), cnt, first, start))
 
     last_row = rows[-1]
     return (
@@ -118,6 +142,7 @@ def _fold_sessions(
         int(sess_of_row[-1]),
         int(last_row[2]),
         int(last_row[3]),
+        int(last_row[4]),
     )
 
 
@@ -136,7 +161,7 @@ def _make_sessionizer(lateness_sec: int, idle_timeout_sec: int | None = None):
             # idle past idle_timeout_sec: the watermark guarantees nothing
             # older than any buffered event can still arrive, so finalize
             # the reorder buffer, emit, and DROP the state (eviction)
-            (last_epoch, session_idx, n_events, first_event,
+            (last_epoch, session_idx, n_events, first_event, session_start,
              _max_seen, pend_epochs, pend_ids) = state.get
             state.remove()
             if len(pend_epochs):
@@ -145,11 +170,9 @@ def _make_sessionizer(lateness_sec: int, idle_timeout_sec: int | None = None):
                     np.asarray(pend_epochs, dtype=np.int64),
                     np.asarray(pend_ids, dtype=np.int64),
                     last_epoch, session_idx, n_events, first_event,
+                    session_start,
                 )
-                yield pd.DataFrame(
-                    rows,
-                    columns=["user_id", "session_idx", "n_events", "first_event"],
-                )
+                yield pd.DataFrame(rows, columns=_OUT_COLS)
             return
 
         batch = pd.concat(list(pdfs))
@@ -160,12 +183,13 @@ def _make_sessionizer(lateness_sec: int, idle_timeout_sec: int | None = None):
         real = ids_all >= 0  # event_id < 0 = watermark heartbeat
 
         if state.exists:
-            (last_epoch, session_idx, n_events, first_event,
+            (last_epoch, session_idx, n_events, first_event, session_start,
              max_seen, pend_epochs, pend_ids) = state.get
             pend_epochs = np.asarray(pend_epochs, dtype=np.int64)
             pend_ids = np.asarray(pend_ids, dtype=np.int64)
         else:
             last_epoch, session_idx, n_events, first_event = _NONE, 0, 0, 0
+            session_start = _NONE
             max_seen = _NONE
             pend_epochs = np.empty(0, dtype=np.int64)
             pend_ids = np.empty(0, dtype=np.int64)
@@ -204,25 +228,24 @@ def _make_sessionizer(lateness_sec: int, idle_timeout_sec: int | None = None):
         if not len(epochs):
             state.update((
                 int(last_epoch), int(session_idx), int(n_events),
-                int(first_event), int(max_seen),
+                int(first_event), int(session_start), int(max_seen),
                 [int(x) for x in keep_epochs], [int(x) for x in keep_ids],
             ))
             arm_timeout()
             return
 
-        rows, last_epoch, session_idx, n_events, first_event = _fold_sessions(
+        (rows, last_epoch, session_idx, n_events, first_event,
+         session_start) = _fold_sessions(
             user_id, epochs, event_ids,
-            last_epoch, session_idx, n_events, first_event,
+            last_epoch, session_idx, n_events, first_event, session_start,
         )
         state.update((
             last_epoch, session_idx, n_events, first_event,
-            int(max_seen),
+            int(session_start), int(max_seen),
             [int(x) for x in keep_epochs], [int(x) for x in keep_ids],
         ))
         arm_timeout()
-        yield pd.DataFrame(
-            rows, columns=["user_id", "session_idx", "n_events", "first_event"]
-        )
+        yield pd.DataFrame(rows, columns=_OUT_COLS)
 
     return _sessionize_user
 
@@ -292,16 +315,25 @@ def sessionize_stream(
 
 
 def latest_sessions(spark: SparkSession, out_path: str) -> DataFrame:
-    """Collapse the update history to the final row per (user, session)."""
+    """Collapse the update history to the final row per (user, session).
+
+    Keyed by (user_id, session_start) — the eviction-safe session identity
+    (ADVICE r04): a user who returns after idle-state eviction restarts
+    session_idx at 0, but their new sessions start at later epochs than
+    every finalized one, so finalized rows are never overwritten. For a
+    never-evicted user (user_id, session_start) ↔ (user_id, session_idx)
+    one-to-one, which keeps the batch-equality contract intact."""
     from pyspark.sql import Window
 
     w = (
-        Window.partitionBy("user_id", "session_idx")
+        Window.partitionBy("user_id", "session_start")
         .orderBy(F.desc("batch_id"), F.desc("n_events"))
     )
     return (
         spark.read.parquet(out_path)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("user_id", "session_idx", "n_events", "first_event")
+        .select(
+            "user_id", "session_idx", "n_events", "first_event", "session_start"
+        )
     )

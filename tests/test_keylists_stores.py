@@ -293,3 +293,51 @@ def test_bloom_positions_match_python_int_parse():
     i = np.arange(h, dtype=np.uint64)
     want = (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)
     assert (got == want).all()
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_local=st.integers(min_value=1, max_value=60),
+    overlap_pct=st.integers(min_value=0, max_value=100),
+    expected_keys=st.integers(min_value=1, max_value=4),
+    fpp=st.floats(min_value=0.3, max_value=0.7),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+def test_move_bloom_property_adversarial_fpp(
+    spark, n_local, overlap_pct, expected_keys, fpp, seed
+):
+    """VERDICT r04 next #8: property-test the Bloom path at adversarial
+    fpp (near 0.5) and deliberately undersized m (expected_keys ≪ actual),
+    stressing the maybe-branch — byte-equality with the exact move() must
+    hold for arbitrary local/remote overlap, including disjoint and
+    fully-overlapping sets."""
+    import hashlib
+
+    from libchunk_spark.operators.move import move, move_bloom
+
+    keys = [
+        hashlib.sha256(f"prop{seed}_{i}".encode()).hexdigest()
+        for i in range(n_local)
+    ]
+    n_remote = (n_local * overlap_pct) // 100
+    local = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)], "k string, payload long"
+    )
+    remote_rows = [(k,) for k in keys[:n_remote]] + [
+        (hashlib.sha256(f"remote_only{seed}_{i}".encode()).hexdigest(),)
+        for i in range(3)
+    ]
+    remote = spark.createDataFrame(remote_rows, "k string")
+    exact = move(local, remote)
+    got = move_bloom(local, remote, expected_keys=expected_keys, fpp=fpp)
+    assert sorted(tuple(r) for r in got.pushed.collect()) == sorted(
+        tuple(r) for r in exact.pushed.collect()
+    )
+    assert got.skipped_count == exact.skipped_count

@@ -463,3 +463,196 @@ def test_streaming_neardup_flags(spark, tmp_path):
     }
     assert got == want
     assert want, "fixture must produce cross-partition near-dups"
+
+
+def test_ingest_anti_join_not_forced_broadcast(spark):
+    """VERDICT r04 wrong #1: the streaming index probe must not FORCE a
+    broadcast of the chunk-index side. With the broadcast threshold
+    disabled (what 'index too big to broadcast' looks like to the planner),
+    the anti-join plan must contain no broadcast at all — the old
+    F.broadcast(existing) hint produced one regardless of size."""
+    import hashlib
+
+    from libchunk_spark.streaming.ingest import _index_anti_join
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        keys = [hashlib.sha256(f"c{i}".encode()).hexdigest() for i in range(50)]
+        new_rows = spark.createDataFrame(
+            [(k, i) for i, k in enumerate(keys)], "k string, payload long"
+        )
+        existing = spark.createDataFrame([(k,) for k in keys[::2]], "k string")
+        df = _index_anti_join(new_rows, existing)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan, plan
+        assert "LeftAnti" in plan
+        assert df.count() == 25  # and it still anti-joins correctly
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_streaming_ingest_bloom_equals_exact(spark, tmp_path):
+    """VERDICT r04 next #1: the maintained-Bloom ingest path must produce a
+    byte-identical chunk index to the exact anti-join path across multiple
+    micro-batches (no false negatives; maybe-set resolved exactly), with
+    cross-batch dedup intact."""
+    src_a = str(tmp_path / "in_exact")
+    src_b = str(tmp_path / "in_bloom")
+    os.makedirs(src_a)
+    os.makedirs(src_b)
+    rows = generate_corpus(n_files=40, seed=9)
+    df = corpus_to_spark(spark, rows).select(
+        "file_id", "repo", "path", "commit", "lang", "content"
+    )
+    first = df.where("file_id < 20")
+    # second wave re-sends the first wave's contents under new file_ids
+    second = df.withColumn("file_id", F.col("file_id") + 1000)
+    for src in (src_a, src_b):
+        first.coalesce(1).write.parquet(f"{src}/b1")
+
+    idx_a = str(tmp_path / "idx_exact")
+    idx_b = str(tmp_path / "idx_bloom")
+    q = start_ingest(spark, f"{src_a}/*", idx_a, str(tmp_path / "ck_a1"), CFG.chunk)
+    assert q.awaitTermination(120)
+    # tiny expected_keys at high fpp: the maybe-branch fires constantly
+    q = start_ingest(
+        spark, f"{src_b}/*", idx_b, str(tmp_path / "ck_b1"), CFG.chunk,
+        use_bloom=True, expected_keys=8, bloom_fpp=0.4,
+    )
+    assert q.awaitTermination(120)
+
+    for src in (src_a, src_b):
+        second.coalesce(1).write.parquet(f"{src}/b2")
+    q = start_ingest(spark, f"{src_a}/*", idx_a, str(tmp_path / "ck_a1"), CFG.chunk)
+    assert q.awaitTermination(120)
+    q = start_ingest(
+        spark, f"{src_b}/*", idx_b, str(tmp_path / "ck_b1"), CFG.chunk,
+        use_bloom=True, expected_keys=8, bloom_fpp=0.4,
+    )
+    assert q.awaitTermination(120)
+
+    a = spark.read.parquet(idx_a)
+    b = spark.read.parquet(idx_b)
+    assert sorted(r["k"] for r in a.select("k").collect()) == sorted(
+        r["k"] for r in b.select("k").collect()
+    )
+    assert b.count() == b.select("k").distinct().count()  # no re-appends
+
+
+def test_incremental_clustering_batch_replay_is_idempotent(spark, tmp_path):
+    """ADVICE r04 medium: foreachBatch is at-least-once — replaying a batch
+    after a (partial) commit must not append duplicate signature/band rows
+    (which would double band frequencies past the cap and drop edges) and
+    must leave the component assignment exactly as a single run would."""
+    from libchunk_spark.streaming.ingest import _incremental_cluster_batch
+
+    rows = generate_corpus(n_files=40, seed=21)
+    df = corpus_to_spark(spark, rows).select(
+        "file_id", "repo", "path", "commit", "lang", "content"
+    ).cache()
+    state = str(tmp_path / "state")
+    b0 = df.where("file_id % 2 = 0")
+    b1 = df.where("file_id % 2 = 1")
+    _incremental_cluster_batch(b0, 0, state, CFG, band_freq_cap=4096)
+    _incremental_cluster_batch(b1, 1, state, CFG, band_freq_cap=4096)
+    want = sorted(
+        tuple(r) for r in spark.read.parquet(f"{state}/components").collect()
+    )
+    n_sigs = spark.read.parquet(f"{state}/signatures").count()
+    n_bands = spark.read.parquet(f"{state}/bands").count()
+
+    # crash-recovery replay of the already-committed batch 1
+    _incremental_cluster_batch(b1, 1, state, CFG, band_freq_cap=4096)
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(f"{state}/components").collect()
+    )
+    assert got == want
+    assert spark.read.parquet(f"{state}/signatures").count() == n_sigs
+    assert spark.read.parquet(f"{state}/bands").count() == n_bands
+
+
+def test_incremental_clustering_cross_edges_plan(spark, tmp_path):
+    """VERDICT r04 next #2 'Done' criteria: per-batch new↔old edge work
+    must be independent of history size — the maintained band index is
+    scanned (never shuffled: the batch's band keys broadcast into it), the
+    signature history is never read at all, and the current batch's own
+    partition is pruned out (replay idempotence)."""
+    from libchunk_spark.operators.sign import sign
+    from libchunk_spark.streaming.ingest import _cross_edges
+
+    rows = generate_corpus(n_files=30, seed=7)
+    df = corpus_to_spark(spark, rows).select(
+        "file_id", "repo", "path", "commit", "lang", "content"
+    )
+    state = str(tmp_path / "state")
+    bands_root = f"{state}/bands"
+    old = sign(df.where("file_id < 20"), CFG).select(
+        "file_id", F.posexplode("bands").alias("band", "band_hash")
+    ).select("band", "band_hash", F.col("file_id").alias("old_id"))
+    old.write.parquet(f"{bands_root}/batch=0")
+    new_bands = sign(df.where("file_id >= 20"), CFG).select(
+        "file_id", F.posexplode("bands").alias("band", "band_hash")
+    ).localCheckpoint()
+
+    edges = _cross_edges(new_bands, bands_root, 1, band_freq_cap=4096)
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    # batch band keys broadcast INTO the index scan — history never shuffles
+    assert "BroadcastExchange" in plan and "BroadcastHashJoin" in plan, plan
+    # the signature history (minhash/band arrays) is not read per trigger
+    assert "signatures" not in plan, plan
+    # the current batch's own partition is pruned at the scan
+    assert "PartitionFilters" in plan and "batch" in plan, plan
+    # and the edges are real: planted near-dup families straddle the split
+    assert edges.count() > 0
+
+
+def test_returning_user_after_eviction_does_not_overwrite(spark, tmp_path):
+    """ADVICE r04: a user who returns AFTER idle-state eviction restarts
+    session_idx at 0 — the session_start-keyed sink must keep BOTH the
+    finalized pre-eviction sessions and the new post-eviction ones instead
+    of silently overwriting rows that share (user_id, session_idx)."""
+    import pandas as pd
+
+    from libchunk_spark.streaming.sessionize import (
+        latest_sessions,
+        sessionize_stream,
+    )
+
+    e0 = 1_700_000_000
+    src = str(tmp_path / "replay")
+    os.makedirs(src)
+
+    def write(fname, rows):
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).assign(ts=lambda d: pd.to_datetime(d["ts"], unit="s")).to_parquet(
+            f"{src}/{fname}", index=False, coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+
+    # user 1 session 0, then goes idle; user 2 advances the global watermark
+    write("000.parquet", [
+        (10, e0, 1, "a", 0.0, ""),
+        (20, e0, 2, "a", 0.0, ""),
+    ])
+    write("001.parquet", [(21, e0 + 3 * 3600, 2, "a", 0.0, "")])
+    write("002.parquet", [(22, e0 + 6 * 3600, 2, "a", 0.0, "")])
+    # user 1 RETURNS long after eviction: fresh state, session_idx restarts 0
+    write("003.parquet", [(13, e0 + 9 * 3600, 1, "a", 0.0, "")])
+    write("004.parquet", [(23, e0 + 12 * 3600, 2, "a", 0.0, "")])
+    write("005.parquet", [(24, e0 + 15 * 3600, 2, "a", 0.0, "")])
+
+    out = str(tmp_path / "sessions")
+    q = sessionize_stream(
+        spark, src, str(tmp_path / "ckpt"), out,
+        lateness_sec=600, idle_timeout_sec=3600,
+    )
+    assert q.awaitTermination(180)
+
+    user1 = sorted(
+        (r["session_start"], r["session_idx"], r["n_events"], r["first_event"])
+        for r in latest_sessions(spark, out).where("user_id = 1").collect()
+    )
+    # BOTH user-1 sessions survive; each restarted numbering at 0
+    assert user1 == [(e0, 0, 1, 10), (e0 + 9 * 3600, 0, 1, 13)]
