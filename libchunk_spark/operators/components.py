@@ -4,7 +4,11 @@ Alternating large-star / small-star (Kiveris et al., "Connected Components
 in MapReduce and Beyond") — O(log^2 n) rounds, skew-tolerant because every
 round's groupBy(min) is a partial aggregation (map-side combine absorbs hot
 nodes). Each round checkpoints to truncate lineage (SURVEY.md §4 — no
-Catalyst primitive exists for iteration).
+Catalyst primitive exists for iteration). A partition-local union-find
+contraction (`_local_contract`, map-only) runs before the first shuffle so
+the global rounds start from depth-1 star forests instead of raw
+near-clique candidate edges — fewer edges shuffled AND fewer rounds of
+fixed driver latency (VERDICT r04 next #3).
 
 Round cost model (VERDICT r04 next #3/#6): shuffle width is tuned to the
 live edge count (~500k edges per partition, floor 8) via EXPLICIT
@@ -26,6 +30,75 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _local_contract(edges: DataFrame) -> DataFrame:
+    """Partition-local union-find contraction — a map-only (no shuffle)
+    pre-pass that replaces each partition's edge set with an equivalent
+    star forest: (local-root, node) pairs, root = min file_id of the
+    node's within-partition component.
+
+    Connectivity is preserved exactly (an edge {a,b} and the star pair
+    {root,a},{root,b} connect the same vertices), so CC over the contracted
+    output equals CC over the input; cross-partition components still merge
+    in the global rounds because a node split across partitions emits one
+    star pair per partition. What it buys at scale: LSH band edges arrive
+    as near-cliques (every pair of files sharing a hot band), and a clique
+    of k nodes contracts from O(k²) pairs to k-1 stars before the FIRST
+    shuffle — the alternating-star rounds then start from depth-1 forests
+    and converge in ~2-3 rounds instead of O(log² n), each round being
+    fixed driver latency the 100 TB plan pays serially (VERDICT r04 next
+    #3). Union-find is pointer-chasing, so this is the documented
+    per-partition imperative exception: an Arrow-batched mapInPandas whose
+    state is one dict per PARTITION (bounded by the upstream width), not
+    per batch.
+    """
+
+    def contract(batches):
+        import pandas as pd
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        nodes: set[int] = set()
+        for pdf in batches:
+            for a, b in zip(
+                pdf["a"].to_numpy(dtype="int64"),
+                pdf["b"].to_numpy(dtype="int64"),
+            ):
+                a, b = int(a), int(b)
+                nodes.add(a)
+                nodes.add(b)
+                ra, rb = find(a), find(b)
+                if ra == rb:
+                    continue
+                if ra < rb:  # min-rooted: the star's a is always the min
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        out_a, out_b = [], []
+        for n in nodes:
+            r = find(n)
+            if r != n:
+                out_a.append(r)
+                out_b.append(n)
+        yield pd.DataFrame(
+            {
+                "a": pd.array(out_a, dtype="int64"),
+                "b": pd.array(out_b, dtype="int64"),
+            }
+        )
+
+    return edges.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).where(F.col("a") != F.col("b")).mapInPandas(contract, "a long, b long")
 
 
 def _canonical(edges: DataFrame, width: int | None = None) -> DataFrame:
@@ -142,7 +215,9 @@ def connected_components(
     the signature aggregate).
     """
     spark = edges.sparkSession
-    cur = _canonical(edges).localCheckpoint(eager=False)
+    # map-only local contraction first: the dedupe below (the first shuffle)
+    # then sees star pairs, not raw near-clique edges
+    cur = _canonical(_local_contract(edges)).localCheckpoint(eager=False)
     n0, _ = _signature(cur)  # one job: materializes cur + counts edges
     default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     width = max(8, min(default_parts, n0 // 500_000 + 1))

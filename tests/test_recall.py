@@ -185,6 +185,37 @@ def test_update_components_equals_full_recluster(spark, seed):
     assert got == want
 
 
+def test_local_contract_clique_reduces_edges_preserves_cc(spark):
+    """_local_contract must replace a single-partition k-clique's O(k^2)
+    edges with <= k-1 star pairs, without changing connectivity — the
+    map-only pre-pass that keeps hot LSH bands from shuffling quadratic
+    edge sets (VERDICT r04 next #3)."""
+    from libchunk_spark.operators.components import _local_contract
+
+    k = 30
+    clique = [(i, j) for i in range(k) for j in range(i + 1, k)]
+    edf = spark.createDataFrame(clique, "a long, b long").coalesce(1)
+    contracted = _local_contract(edf)
+    rows = contracted.collect()
+    assert len(rows) == k - 1  # star forest, min-rooted
+    assert {(r["a"], r["b"]) for r in rows} == {(0, j) for j in range(1, k)}
+    comp = connected_components(edf)
+    assert comp.select("component").distinct().count() == 1
+    assert comp.count() == k
+
+
+def test_local_contract_cross_partition_components_merge(spark):
+    """A component split across partitions must still converge to one
+    label: each partition emits its own local star, the global rounds
+    merge them."""
+    # path 0-1-2-...-9 delivered as one-edge partitions (worst split)
+    edges = [(i, i + 1) for i in range(9)]
+    edf = spark.createDataFrame(edges, "a long, b long").repartition(9)
+    comp = connected_components(edf)
+    got = {r["file_id"]: r["component"] for r in comp.collect()}
+    assert got == {i: 0 for i in range(10)}
+
+
 def test_connected_components_chain_converges(spark):
     """Long path graph — worst case for naive propagation."""
     n = 200
