@@ -79,6 +79,8 @@ def main() -> None:
         "chunk_stats",
         "decontam_flags",
         "quality_verdicts",
+        "sample_stratified",
+        "top_ngrams",
     ]
 
     # --- synthetic source-code corpus for the pipeline phases (built once,

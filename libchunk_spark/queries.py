@@ -1551,6 +1551,72 @@ GROUP BY 1
 """
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — seedless, content-independent,
+    reproducible across engines and corpus growth: keep a doc iff the first
+    byte of sha256(doc_id) falls under its stratum's rate (en 25%, other
+    langs 50%). Map-only at any scale (no shuffle, no RNG state); the same
+    doc is in or out of the sample forever, so incremental pipeline runs
+    never resample. Standard down-sampling op for training-data curation
+    (reference has no analog; training-pipeline extension)."""
+    bucket = F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 2)
+    rate = F.when(F.col("lang") == "en", F.lit("40")).otherwise(F.lit("80"))
+    return (
+        _docs(spark, sf_dir)
+        .where(bucket < rate)
+        .select("doc_id", "lang", bucket.alias("sample_bucket"))
+    )
+
+
+SQL_SAMPLE_STRATIFIED = """
+SELECT doc_id, lang,
+       substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2) AS sample_bucket
+FROM documents
+WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2)
+      < (CASE WHEN lang = 'en' THEN '40' ELSE '80' END)
+"""
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated 5-gram mining (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" — the frequency-mining
+    half): word 5-grams counted by DISTINCT containing doc, top 20 with
+    deterministic (count desc, ngram asc) tie-break. Scale shape: explode
+    is map-side, the groupBy count is a partial-aggregate shuffle on the
+    gram key, top-k is a TakeOrdered — no all-pairs anywhere."""
+    t = _tokens()
+    grams = F.when(
+        F.size(t) >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 5),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, 5)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("ngram"))
+        .limit(20)
+    )
+
+
+SQL_TOP_NGRAMS = """
+SELECT ngram, CAST(count(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS ngram
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
+)
+GROUP BY ngram
+ORDER BY n_docs DESC, ngram ASC
+LIMIT 20
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1594,4 +1660,6 @@ QUERIES = {
     # bound invariants are — value-checked contracts (VERDICT r02 item 4)
     "chunk_stats": (q_chunk_stats, SQL_CHUNK_STATS),
     "dedup_ratio": (q_dedup_ratio, SQL_DEDUP_RATIO),
+    "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
 }
