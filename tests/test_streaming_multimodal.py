@@ -540,6 +540,132 @@ def test_streaming_ingest_bloom_equals_exact(spark, tmp_path):
     assert b.count() == b.select("k").distinct().count()  # no re-appends
 
 
+def test_bloom_ingest_restart_loads_persisted_filter(spark, tmp_path, monkeypatch):
+    """VERDICT r05 next #6: start_ingest(use_bloom=True) on an EXISTING
+    checkpoint must load the persisted bitmap instead of rescanning the full
+    index; the full rebuild is only the fallback for a missing/mismatched
+    state file. Counted via the build_bloom_bitmap seam (bound at call
+    time from operators.move)."""
+    import libchunk_spark.operators.move as move_mod
+    from libchunk_spark.streaming.ingest import _bloom_state_paths
+
+    src = str(tmp_path / "incoming")
+    idx = str(tmp_path / "chunk_index")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    rows = generate_corpus(n_files=20, seed=9)
+    df = corpus_to_spark(spark, rows).select(
+        "file_id", "repo", "path", "commit", "lang", "content"
+    )
+    df.where("file_id < 10").coalesce(1).write.parquet(f"{src}/b1")
+    q = start_ingest(
+        spark, f"{src}/*", idx, ckpt, CFG.chunk,
+        use_bloom=True, expected_keys=64, bloom_fpp=0.3,
+    )
+    assert q.awaitTermination(120)
+    bin_p, meta_p = _bloom_state_paths(ckpt)
+    assert os.path.exists(bin_p) and os.path.exists(meta_p)
+
+    calls = {"n": 0}
+    real_build = move_mod.build_bloom_bitmap
+
+    def counting_build(keys_df, m, h):
+        calls["n"] += 1
+        return real_build(keys_df, m, h)
+
+    monkeypatch.setattr(move_mod, "build_bloom_bitmap", counting_build)
+    # restart, no new files: persisted filter loads, NO index scan, no batch
+    q = start_ingest(
+        spark, f"{src}/*", idx, ckpt, CFG.chunk,
+        use_bloom=True, expected_keys=64, bloom_fpp=0.3,
+    )
+    assert q.awaitTermination(120)
+    assert calls["n"] == 0
+
+    # restart WITH new content (re-sends of b1 under new ids + fresh files):
+    # only the per-batch delta builds run, never the full-index rebuild,
+    # and cross-restart dedup still holds through the loaded filter
+    n1 = spark.read.parquet(idx).count()
+    df.withColumn("file_id", F.col("file_id") + 1000).coalesce(1).write.parquet(
+        f"{src}/b2"
+    )
+    calls["n"] = 0
+    q = start_ingest(
+        spark, f"{src}/*", idx, ckpt, CFG.chunk,
+        use_bloom=True, expected_keys=64, bloom_fpp=0.3,
+    )
+    assert q.awaitTermination(120)
+    idx_df = spark.read.parquet(idx)
+    assert idx_df.count() > n1  # fresh files (10..19) did append
+    assert idx_df.count() == idx_df.select("k").distinct().count()
+    batches = calls["n"]
+    assert batches >= 1  # delta builds only
+    # geometry change (different expected_keys) must force a clean rebuild:
+    # one extra full-index build on top of any per-batch delta builds
+    calls["n"] = 0
+    q = start_ingest(
+        spark, f"{src}/*", idx, ckpt, CFG.chunk,
+        use_bloom=True, expected_keys=1024, bloom_fpp=0.3,
+    )
+    assert q.awaitTermination(120)
+    assert calls["n"] == 1  # the rebuild; no new files -> no delta builds
+
+
+def test_bloom_ingest_replay_safe_after_partial_commit(spark, tmp_path, caplog):
+    """ADVICE r05 medium: the filter ORs BEFORE the index append. Both crash
+    points of that order are replay-safe: (a) crash after full commit ->
+    replaying the batch appends nothing; (b) crash after the OR but before
+    the append -> the replayed keys probe maybe-present, anti-join the index
+    that lacks them, and append exactly once (no loss). Also exercises the
+    saturation warning (ADVICE r05 low)."""
+    import hashlib
+    import logging as _logging
+
+    import numpy as np
+
+    from libchunk_spark.operators.move import _bloom_params, build_bloom_bitmap
+    from libchunk_spark.streaming.ingest import _bloom_ingest_batch
+
+    idx = str(tmp_path / "chunk_index")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    keys = [hashlib.sha256(f"chunk{i}".encode()).hexdigest() for i in range(40)]
+    batch = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)], "k string, payload long"
+    )
+    m, h = _bloom_params(64, 0.3)
+    state = {"bm": np.zeros((m + 7) // 8, dtype=np.uint8).tobytes(), "n": 0}
+
+    # scenario (b): the OR happened, the append did not (simulated crash)
+    delta = build_bloom_bitmap(batch.select("k"), m, h)
+    state["bm"] = np.bitwise_or(
+        np.frombuffer(state["bm"], dtype=np.uint8),
+        np.frombuffer(delta, dtype=np.uint8),
+    ).tobytes()
+    _bloom_ingest_batch(batch, state, idx, ckpt, m, h, expected_keys=64)
+    got = spark.read.parquet(idx)
+    assert sorted(r["k"] for r in got.collect()) == sorted(keys)  # nothing lost
+
+    # scenario (a): full commit, then an at-least-once replay of the batch
+    _bloom_ingest_batch(batch, state, idx, ckpt, m, h, expected_keys=64)
+    got = spark.read.parquet(idx)
+    assert got.count() == len(keys)  # no duplicates
+
+    # saturation: inserting past expected_keys warns loudly (correctness
+    # is unaffected; the warning is the operator's re-size signal)
+    more = spark.createDataFrame(
+        [(hashlib.sha256(f"x{i}".encode()).hexdigest(), i) for i in range(50)],
+        "k string, payload long",
+    )
+    with caplog.at_level(
+        _logging.WARNING, logger="libchunk_spark.streaming.ingest"
+    ):
+        _bloom_ingest_batch(more, state, idx, ckpt, m, h, expected_keys=64)
+    assert any("expected_keys" in r.message for r in caplog.records)
+    got = spark.read.parquet(idx)
+    assert got.count() == got.select("k").distinct().count() == 90
+
+
 def test_incremental_clustering_batch_replay_is_idempotent(spark, tmp_path):
     """ADVICE r04 medium: foreachBatch is at-least-once — replaying a batch
     after a (partial) commit must not append duplicate signature/band rows
