@@ -197,7 +197,7 @@ def test_local_contract_clique_reduces_edges_preserves_cc(spark):
     edf = spark.createDataFrame(clique, "a long, b long").coalesce(1)
     contracted = _local_contract(edf)
     rows = contracted.collect()
-    assert len(rows) == k - 1  # star forest, min-rooted
+    assert len(rows) == k - 1  # star forest (root canonical by appearance)
     assert {(r["a"], r["b"]) for r in rows} == {(0, j) for j in range(1, k)}
     comp = connected_components(edf)
     assert comp.select("component").distinct().count() == 1
@@ -214,6 +214,51 @@ def test_local_contract_cross_partition_components_merge(spark):
     comp = connected_components(edf)
     got = {r["file_id"]: r["component"] for r in comp.collect()}
     assert got == {i: 0 for i in range(10)}
+
+
+def test_connected_components_contract_on_off_equal(spark):
+    """The contraction pre-pass is a pure optimization: assignments with
+    contract=True and contract=False must be identical (the A/B switch
+    VERDICT r05 next #3 measures with)."""
+    import random as _r
+
+    rng = _r.Random(5)
+    edges = [(i, j) for i in range(20) for j in range(i + 1, 20)]  # clique
+    edges += [(100 + i, 101 + i) for i in range(50)]  # chain
+    edges += [
+        (rng.randrange(200, 400), rng.randrange(200, 400)) for _ in range(100)
+    ]
+    edf = spark.createDataFrame(edges, "a long, b long").repartition(7)
+    on = sorted(
+        tuple(r) for r in connected_components(edf, contract=True).collect()
+    )
+    off = sorted(
+        tuple(r) for r in connected_components(edf, contract=False).collect()
+    )
+    assert on == off and len(on) > 0
+
+
+def test_local_contract_blocked_flush_preserves_cc(spark):
+    """ADVICE r05 low: blocks bound worker memory — a partition bigger than
+    block_edges contracts as several independent blocks (plus chunked
+    output frames), and the union of per-block star forests must still
+    induce the exact same components."""
+    from libchunk_spark.operators.components import _local_contract
+
+    k = 25
+    clique = [(i, j) for i in range(k) for j in range(i + 1, k)]
+    chain = [(1000 + i, 1001 + i) for i in range(30)]
+    edf = spark.createDataFrame(clique + chain, "a long, b long").coalesce(1)
+    # block_edges far below the partition's edge count -> many flushes;
+    # out_chunk tiny -> many output frames per flush
+    contracted = _local_contract(edf, block_edges=37, out_chunk=5)
+    want = sorted(
+        tuple(r) for r in connected_components(edf, contract=False).collect()
+    )
+    got = sorted(
+        tuple(r) for r in connected_components(contracted, contract=False).collect()
+    )
+    assert got == want
 
 
 def test_connected_components_chain_converges(spark):

@@ -705,7 +705,7 @@ def test_incremental_clustering_cross_edges_plan(spark, tmp_path):
     signature history is never read at all, and the current batch's own
     partition is pruned out (replay idempotence)."""
     from libchunk_spark.operators.sign import sign
-    from libchunk_spark.streaming.ingest import _cross_edges
+    from libchunk_spark.streaming.ingest import _cross_edges, _write_band_partition
 
     rows = generate_corpus(n_files=30, seed=7)
     df = corpus_to_spark(spark, rows).select(
@@ -715,8 +715,8 @@ def test_incremental_clustering_cross_edges_plan(spark, tmp_path):
     bands_root = f"{state}/bands"
     old = sign(df.where("file_id < 20"), CFG).select(
         "file_id", F.posexplode("bands").alias("band", "band_hash")
-    ).select("band", "band_hash", F.col("file_id").alias("old_id"))
-    old.write.parquet(f"{bands_root}/batch=0")
+    )
+    _write_band_partition(old, bands_root, 0, band_buckets=64)
     new_bands = sign(df.where("file_id >= 20"), CFG).select(
         "file_id", F.posexplode("bands").alias("band", "band_hash")
     ).localCheckpoint()
@@ -727,10 +727,39 @@ def test_incremental_clustering_cross_edges_plan(spark, tmp_path):
     assert "BroadcastExchange" in plan and "BroadcastHashJoin" in plan, plan
     # the signature history (minhash/band arrays) is not read per trigger
     assert "signatures" not in plan, plan
-    # the current batch's own partition is pruned at the scan
+    # the current batch's own partition is pruned at the scan, and the
+    # probe's bh_bucket values prune FILES within surviving batch dirs
+    # (VERDICT r05 next #4)
     assert "PartitionFilters" in plan and "batch" in plan, plan
+    assert "bh_bucket" in plan, plan
     # and the edges are real: planted near-dup families straddle the split
     assert edges.count() > 0
+
+
+def test_cross_edges_bucket_pruning_preserves_edges(spark, tmp_path):
+    """The bh_bucket file pruning must be invisible to results: edges with
+    a coarse bucket count (heavy pruning) equal edges with band_buckets=1
+    (no pruning possible — every row in one bucket)."""
+    from libchunk_spark.operators.sign import sign
+    from libchunk_spark.streaming.ingest import _cross_edges, _write_band_partition
+
+    rows = generate_corpus(n_files=30, seed=7)
+    df = corpus_to_spark(spark, rows).select(
+        "file_id", "repo", "path", "commit", "lang", "content"
+    )
+    old = sign(df.where("file_id < 20"), CFG).select(
+        "file_id", F.posexplode("bands").alias("band", "band_hash")
+    )
+    new_bands = sign(df.where("file_id >= 20"), CFG).select(
+        "file_id", F.posexplode("bands").alias("band", "band_hash")
+    ).localCheckpoint()
+    got = {}
+    for k in (1, 64):
+        root = str(tmp_path / f"bands_k{k}")
+        _write_band_partition(old, root, 0, band_buckets=k)
+        edges = _cross_edges(new_bands, root, 1, band_freq_cap=4096, band_buckets=k)
+        got[k] = sorted(tuple(r) for r in edges.collect())
+    assert got[1] == got[64] and len(got[1]) > 0
 
 
 def test_returning_user_after_eviction_does_not_overwrite(spark, tmp_path):
