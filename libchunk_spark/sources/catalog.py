@@ -134,9 +134,84 @@ class StageCatalog:
         self._manifests[stage] = manifest
         return out
 
+    def _table_name(self, stage: str) -> str:
+        """Catalog-safe table identifier, scoped by the catalog root so two
+        StageCatalogs in one session never collide."""
+        import re
+
+        scope = hashlib.sha256(self.root.encode()).hexdigest()[:8]
+        return "lcs_" + scope + "_" + re.sub(r"[^A-Za-z0-9_]", "_", stage)
+
+    def write_stage_bucketed(
+        self,
+        stage: str,
+        df: DataFrame,
+        fingerprint: str,
+        bucket_cols: list[str],
+        n_buckets: int,
+        inputs: list[str] | None = None,
+    ) -> DataFrame:
+        """Bucketed stage checkpoint (VERDICT r05 next #8; SCALE.md §2):
+        the table is hash-bucketed AND sorted by `bucket_cols`, so every
+        downstream equi-join or aggregation on those columns reads the
+        files already co-located — Catalyst plans NO Exchange on this side
+        (pytest-asserted for assemble's chunk-index join). At 10^12 chunk
+        keys that is the difference between shuffling the full index per
+        assemble/move and shuffling only the (much smaller) key-list side.
+
+        Mechanics: parquet `bucketBy(...).sortBy(...).saveAsTable` with an
+        explicit path under the catalog root. Bucket metadata lives in the
+        session catalog (this sandbox runs the default in-memory catalog;
+        a Hive/Iceberg catalog would persist it across sessions — the same
+        jar-gated seam as the Iceberg MERGE path). chunk keys are sha256
+        hex, so the bucket hash is skew-free by construction.
+        """
+        spark = df.sparkSession
+        table = self._table_name(stage)
+        if self.is_complete(stage, fingerprint) and spark.catalog.tableExists(
+            table
+        ):
+            return spark.table(table)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        path = self._dir(stage)
+        t0 = time.time()
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, *bucket_cols)
+            .sortBy(*bucket_cols)
+            .option("path", path)
+            .saveAsTable(table)
+        )
+        out = spark.table(table)
+        manifest = {
+            "stage": stage,
+            "snapshot_id": uuid.uuid4().hex,
+            "fingerprint": fingerprint,
+            "inputs": inputs or [],
+            "rows": out.count(),
+            "table": table,
+            "bucket_cols": bucket_cols,
+            "n_buckets": n_buckets,
+            "wall_sec": round(time.time() - t0, 3),
+            "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "complete": True,
+        }
+        os.makedirs(path, exist_ok=True)
+        with open(self._manifest_path(stage), "w") as f:
+            json.dump(manifest, f, indent=1)
+        self._manifests[stage] = manifest
+        return out
+
     def read_stage(self, spark: SparkSession, stage: str) -> DataFrame:
         if self.iceberg_catalog:
             return spark.read.table(f"{self.iceberg_catalog}.{stage}")
+        m = self.manifest(stage)
+        # bucketed stages must read through the session catalog — a plain
+        # parquet read of the same files would silently lose the bucket
+        # spec and re-introduce the Exchange the write paid to avoid
+        if m and m.get("table") and spark.catalog.tableExists(m["table"]):
+            return spark.table(m["table"])
         return spark.read.parquet(self._dir(stage))
 
     def merge_append(
