@@ -1617,6 +1617,69 @@ LIMIT 20
 """
 
 
+def q_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per event_type (p50 /
+    p95) — the distribution-sketch aggregation a data pipeline uses for
+    drift monitoring and outlier gates. Spark's `percentile` and DuckDB's
+    `quantile_cont` share the same continuous-interpolation definition
+    (rank (n-1)*q), so the oracle is value-exact. Scale shape: a plain
+    groupBy aggregate; exact percentiles sort within each group — at
+    10^12 rows swap in approx_percentile with a documented error bound
+    (the SQL contract stays the same shape)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+    )
+
+
+SQL_EVENT_QUANTILES = """
+SELECT event_type,
+       count(*) AS n,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(max(value), 4) AS max_value
+FROM events
+GROUP BY 1
+"""
+
+
+def q_top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: the 3 longest documents of each source (window
+    row_number with a deterministic (n_chars desc, doc_id asc) tie-break)
+    — the 'best exemplars per domain' selection a curation pipeline runs
+    after quality scoring. Scale shape: one shuffle on the group key; the
+    window is rank-truncated per partition (row_number + filter), never a
+    global sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("source", "rank", "doc_id", "n_chars")
+    )
+
+
+SQL_TOP_DOCS_PER_SOURCE = """
+SELECT source, rank, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+         ) AS INT) AS rank
+  FROM documents
+) WHERE rank <= 3
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1662,4 +1725,6 @@ QUERIES = {
     "dedup_ratio": (q_dedup_ratio, SQL_DEDUP_RATIO),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
+    "event_quantiles": (q_event_quantiles, SQL_EVENT_QUANTILES),
+    "top_docs_per_source": (q_top_docs_per_source, SQL_TOP_DOCS_PER_SOURCE),
 }
