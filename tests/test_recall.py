@@ -238,6 +238,52 @@ def test_connected_components_contract_on_off_equal(spark):
     assert on == off and len(on) > 0
 
 
+def test_contract_block_kernel_matches_union_find_hypothesis():
+    """Property: the vectorized Borůvka kernel (_contract_block) induces
+    the SAME component partition as a union-find oracle on arbitrary edge
+    lists — pure NumPy, no Spark session needed, so hypothesis can afford
+    many examples (self-loops, duplicate edges, huge sparse ids, dense
+    clique-ish multigraphs)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from libchunk_spark.operators.components import _contract_block
+    from libchunk_spark.oracle import UnionFind
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=2**50),
+        st.integers(min_value=0, max_value=2**50),
+    )
+    small_edge = st.tuples(
+        st.integers(min_value=0, max_value=25),
+        st.integers(min_value=0, max_value=25),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(small_edge, max_size=120) | st.lists(edge, max_size=60))
+    def check(pairs):
+        pairs = [(a, b) for a, b in pairs if a != b]
+        a = np.array([p[0] for p in pairs], dtype=np.int64)
+        b = np.array([p[1] for p in pairs], dtype=np.int64)
+        roots, members = _contract_block(a, b)
+        nodes = sorted({*a.tolist(), *b.tolist()})
+        assign = dict(zip(members.tolist(), roots.tolist()))
+        got_groups: dict[int, set] = {}
+        for n_ in nodes:
+            got_groups.setdefault(assign.get(n_, n_), set()).add(n_)
+        uf = UnionFind(nodes)
+        for x, y in pairs:
+            uf.union(x, y)
+        want_groups: dict[int, set] = {}
+        for n_ in nodes:
+            want_groups.setdefault(uf.find(n_), set()).add(n_)
+        got = {frozenset(g | {r}) for r, g in got_groups.items()}
+        want = {frozenset(g | {r}) for r, g in want_groups.items()}
+        assert got == want
+
+    check()
+
+
 def test_local_contract_blocked_flush_preserves_cc(spark):
     """ADVICE r05 low: blocks bound worker memory — a partition bigger than
     block_edges contracts as several independent blocks (plus chunked
