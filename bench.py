@@ -81,6 +81,8 @@ def main() -> None:
         "quality_verdicts",
         "sample_stratified",
         "top_ngrams",
+        "event_quantiles",
+        "top_docs_per_source",
     ]
 
     # --- synthetic source-code corpus for the pipeline phases (built once,

@@ -66,7 +66,16 @@ def run_pipeline(
     cfg: PipelineConfig,
     catalog: StageCatalog,
     with_containment: bool = True,
+    bucketed_index: bool = False,
+    index_buckets: int = 64,
 ) -> PipelineResult:
+    """bucketed_index=True checkpoints the chunk_index stage hash-bucketed
+    and sorted by k (catalog.write_stage_bucketed), so downstream
+    assemble/move equi-joins on k read the index pre-co-located — no
+    Exchange on the index side (SCALE.md §2; plan pytest in
+    tests/test_resume.py). Off by default: bucket metadata lives in the
+    session catalog, so cross-session resume of the BUCKET SPEC needs a
+    Hive/Iceberg catalog (the parquet files themselves still resume)."""
     fp = config_fingerprint(cfg)
     ran: list[str] = []
     skipped: list[str] = []
@@ -77,6 +86,10 @@ def run_pipeline(
             skipped.append(name)
             return catalog.read_stage(spark, name)
         ran.append(name)
+        if bucketed_index and name == "chunk_index":
+            return catalog.write_stage_bucketed(
+                name, builder(), fp, ["k"], index_buckets, inputs=inputs
+            )
         return catalog.write_stage(name, builder(), fp, inputs=inputs, **kw)
 
     # stage 1: chunk+sign — ONE content pass (put + signatures fused)

@@ -264,3 +264,30 @@ def test_bucketed_chunk_index_join_no_exchange(spark, corpus, tmp_path_factory):
         assert_round_trip(result)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_pipeline_bucketed_index_resume_and_equality(spark, corpus, tmp_path_factory):
+    """run_pipeline(bucketed_index=True) must produce the same final
+    components as the plain layout, resume without re-running stages, and
+    hand back a chunk_index that resolves through the session catalog
+    (bucket spec intact)."""
+    root_plain = str(tmp_path_factory.mktemp("plain"))
+    root_bucketed = str(tmp_path_factory.mktemp("bucketed"))
+    r_plain = run_pipeline(
+        corpus, CFG, StageCatalog(root=root_plain), with_containment=False
+    )
+    r1 = run_pipeline(
+        corpus, CFG, StageCatalog(root=root_bucketed),
+        with_containment=False, bucketed_index=True,
+    )
+    want = sorted(tuple(r) for r in r_plain.components.collect())
+    got = sorted(tuple(r) for r in r1.components.collect())
+    assert got == want
+    # resume: everything read back, chunk_index via the catalog table
+    r2 = run_pipeline(
+        corpus, CFG, StageCatalog(root=root_bucketed),
+        with_containment=False, bucketed_index=True,
+    )
+    assert not r2.stages_run
+    assert "lcs_" in r2.chunk_index._jdf.queryExecution().analyzed().toString()
+    assert sorted(tuple(r) for r in r2.components.collect()) == want
