@@ -1680,6 +1680,173 @@ SELECT source, rank, doc_id, n_chars FROM (
 """
 
 
+def q_event_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attribute each purchase event to the user's most
+    recent preceding click/view (last-touch attribution). Spark has no
+    native as-of join; `operators/asof.py` re-expresses it as ONE
+    shuffle on user_id + a sorted running-window carry — no pair
+    explosion, no BroadcastNestedLoopJoin (plan-asserted in tests).
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from libchunk_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    quotes = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("src_event"),
+        F.col("event_type").alias("src_type"),
+    )
+    joined = asof_join(
+        purchases,
+        quotes,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        tiebreak="src_event",
+    )
+    return joined.select("purchase_id", "user_id", "src_event", "src_type")
+
+
+SQL_EVENT_ASOF_ATTRIBUTION = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       v.event_id AS src_event, v.event_type AS src_type
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN
+     (SELECT * FROM events WHERE event_type IN ('click', 'view')) v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
+def q_event_range_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: per purchase, how many clicks the same user made
+    in the preceding hour (ts in (purchase_ts - 1h, purchase_ts]).
+    `operators/rangejoin.py` turns the non-equi predicate — which Spark
+    would otherwise plan as a BroadcastNestedLoopJoin — into a bucketed
+    equi-join on (user_id, hour_bucket) + an exact residual filter.
+    Zero-click purchases are kept via a left join back to the probe
+    side."""
+    from libchunk_spark.operators.rangejoin import bucketed_range_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    pairs = bucketed_range_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        probe_time="ts",
+        quote_time="click_ts",
+        lo_sec=-3600.0,
+        hi_sec=0.0,
+        bucket_sec=3600,
+    )
+    counts = pairs.groupBy("purchase_id").agg(
+        F.count("*").alias("clicks_1h")
+    )
+    return (
+        purchases.join(counts, on="purchase_id", how="left")
+        .select(
+            "purchase_id",
+            "user_id",
+            F.coalesce(F.col("clicks_1h"), F.lit(0))
+            .cast("long")
+            .alias("clicks_1h"),
+        )
+    )
+
+
+SQL_EVENT_RANGE_COUNTS = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       CAST(count(c.ts) AS BIGINT) AS clicks_1h
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts > p.ts - INTERVAL 3600 SECOND
+ AND c.ts <= p.ts
+GROUP BY 1, 2
+"""
+
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping-sets coverage, SURVEY.md §2.2
+    aggregations): order count + revenue by (priority, status), with
+    per-priority subtotals and a grand total. Subtotal NULLs are
+    coalesced to 'ALL' on both sides so row identity is hash-stable.
+    Catalyst expands the rollup into a single Expand + one shuffle —
+    no extra pass per grouping set."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias(
+                "priority"
+            ),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias(
+                "status"
+            ),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+SQL_REVENUE_ROLLUP = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated aggregation: per event_type (5 heavy-hitter keys
+    over the whole table — the canonical skewed groupBy), row count,
+    sum(value), and an EXACT distinct-user count, computed with the
+    two-phase salted plan in `operators/skew.py` (salt =
+    hash(user_id) % 64, so countDistinct(user_id) partitions cleanly
+    across salt buckets). Oracle: the plain one-phase GROUP BY —
+    equality IS the correctness claim."""
+    from libchunk_spark.operators.skew import salted_agg
+
+    out = salted_agg(
+        _events(spark, sf_dir),
+        keys=["event_type"],
+        salt_from="user_id",
+        n_salts=64,
+        count_alias="n_events",
+        sum_col="value",
+        sum_alias="sum_value",
+        distinct_alias="n_users",
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_value"), 4).alias("sum_value"),
+        "n_users",
+    )
+
+
+SQL_SALTED_SKEW_AGG = """
+SELECT event_type, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1727,4 +1894,10 @@ QUERIES = {
     "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
     "event_quantiles": (q_event_quantiles, SQL_EVENT_QUANTILES),
     "top_docs_per_source": (q_top_docs_per_source, SQL_TOP_DOCS_PER_SOURCE),
+    "event_asof_attribution": (
+        q_event_asof_attribution, SQL_EVENT_ASOF_ATTRIBUTION,
+    ),
+    "event_range_counts": (q_event_range_counts, SQL_EVENT_RANGE_COUNTS),
+    "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
+    "salted_skew_agg": (q_salted_skew_agg, SQL_SALTED_SKEW_AGG),
 }
