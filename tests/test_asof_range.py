@@ -253,3 +253,63 @@ def test_salted_agg_equals_plain_groupby(spark):
     e = {r["k"]: (r["n"], round(r["sv"], 6), r["nd"]) for r in exp.collect()}
     assert g == e
     assert g["hot"][2] == 97  # distinct stays EXACT across salt buckets
+
+
+def test_asof_matches_pandas_merge_asof_randomized(spark):
+    """Semantic contract: asof_join == pandas.merge_asof (by=key,
+    backward, allow_exact_matches) on seeded random instances, with and
+    without tolerance. Right-side ties at equal (key, time) align
+    because merge_asof takes the positionally-last row of the sorted
+    right frame and our tiebreak takes the max quote_id."""
+    import numpy as np
+    import pandas as pd
+
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        nl, nr = 120, 200
+        lp = pd.DataFrame(
+            {
+                "key": rng.integers(0, 6, nl),
+                "t": np.round(rng.uniform(0, 100, nl), 1),
+                "probe_id": np.arange(nl),
+            }
+        )
+        rp = pd.DataFrame(
+            {
+                "key": rng.integers(0, 6, nr),
+                "t": np.round(rng.uniform(0, 100, nr), 1),
+                "quote_id": np.arange(nr),
+                "val": np.round(rng.uniform(0, 10, nr), 3),
+            }
+        )
+        tol = None if seed % 2 == 0 else 7.5
+        exp = pd.merge_asof(
+            lp.sort_values(["t", "probe_id"], kind="mergesort"),
+            rp.sort_values(["t", "quote_id"], kind="mergesort"),
+            on="t",
+            by="key",
+            suffixes=("", "_r"),
+            tolerance=tol,
+        )
+        got = asof_join(
+            spark.createDataFrame(lp),
+            spark.createDataFrame(rp),
+            on=["key"],
+            left_time="t",
+            right_time="t",
+            tolerance_sec=tol,
+            tiebreak="quote_id",
+        ).toPandas()
+        g = {
+            int(r.probe_id): (
+                None if pd.isna(r.quote_id) else int(r.quote_id)
+            )
+            for r in got.itertuples()
+        }
+        e = {
+            int(r.probe_id): (
+                None if pd.isna(r.quote_id) else int(r.quote_id)
+            )
+            for r in exp.itertuples()
+        }
+        assert g == e, f"seed {seed} tol {tol}"
