@@ -83,6 +83,10 @@ def main() -> None:
         "top_ngrams",
         "event_quantiles",
         "top_docs_per_source",
+        "event_asof_attribution",
+        "event_range_counts",
+        "revenue_rollup",
+        "salted_skew_agg",
     ]
 
     # --- synthetic source-code corpus for the pipeline phases (built once,
