@@ -313,3 +313,72 @@ def test_asof_matches_pandas_merge_asof_randomized(spark):
             for r in exp.itertuples()
         }
         assert g == e, f"seed {seed} tol {tol}"
+
+
+def test_range_join_randomized_vs_naive(spark):
+    """Seeded random windows/bucket widths (incl. bucket >> window and
+    bucket << window, negative-only and straddling-zero windows,
+    open and closed lower bounds) against the naive non-equi join."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n = 150
+    base = pd.Timestamp("2024-01-01")
+    mk = lambda arr: [base + pd.Timedelta(seconds=float(s)) for s in arr]
+    probes_p = pd.DataFrame(
+        {
+            "key": rng.integers(0, 4, n),
+            "t": mk(np.round(rng.uniform(0, 5000, n), 2)),
+            "probe_id": np.arange(n),
+        }
+    )
+    quotes_p = pd.DataFrame(
+        {
+            "key": rng.integers(0, 4, n),
+            "t": mk(np.round(rng.uniform(0, 5000, n), 2)),
+            "quote_id": np.arange(n),
+        }
+    )
+    probes = spark.createDataFrame(probes_p)
+    quotes = spark.createDataFrame(quotes_p)
+
+    cases = [
+        (-600.0, 0.0, 600, True),
+        (-600.0, 0.0, 30, True),      # bucket << window
+        (-50.0, 50.0, 7200, False),   # bucket >> window, closed
+        (-1000.0, -200.0, 250, True), # strictly-past window
+        (100.0, 400.0, 128, False),   # strictly-future window
+        (0.0, 0.0, 60, False),        # degenerate: exact-time matches
+    ]
+    for lo, hi, bucket, lo_open in cases:
+        got = bucketed_range_join(
+            probes, quotes, on=["key"], probe_time="t", quote_time="t",
+            lo_sec=lo, hi_sec=hi, bucket_sec=bucket, lo_open=lo_open,
+        )
+        lo_cmp = (
+            F.col("q.t") > F.col("p.t") + F.expr(f"INTERVAL '{lo}' SECOND")
+            if lo_open
+            else F.col("q.t")
+            >= F.col("p.t") + F.expr(f"INTERVAL '{lo}' SECOND")
+        )
+        naive = probes.alias("p").join(
+            quotes.alias("q"),
+            (F.col("p.key") == F.col("q.key"))
+            & lo_cmp
+            & (
+                F.col("q.t")
+                <= F.col("p.t") + F.expr(f"INTERVAL '{hi}' SECOND")
+            ),
+            "inner",
+        )
+        got_pairs = sorted(
+            (r["probe_id"], r["quote_id"]) for r in got.collect()
+        )
+        exp_pairs = sorted(
+            (r["probe_id"], r["quote_id"]) for r in naive.collect()
+        )
+        assert got_pairs == exp_pairs, (lo, hi, bucket, lo_open)
+        if (lo, hi) == (0.0, 0.0):
+            continue
+        assert len(got_pairs) > 0, f"vacuous case {(lo, hi, bucket)}"
