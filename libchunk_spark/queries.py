@@ -1847,6 +1847,38 @@ FROM events GROUP BY 1
 """
 
 
+def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar-function coverage (SURVEY.md §2.2 scalar functions):
+    parse the event `props` JSON payload with a typed `from_json` schema
+    (JVM-side Jackson parse inside whole-stage codegen — never a Python
+    UDF) and aggregate the extracted field per event type. At 100 TB the
+    parse is map-side and the shuffle carries only 5 grouped rows of
+    partial aggregates."""
+    ev = _events(spark, sf_dir).withColumn(
+        "k_val", F.from_json("props", "k INT").getField("k")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("k_val").cast("long").alias("min_k"),
+        F.max("k_val").cast("long").alias("max_k"),
+        F.sum(F.when(F.col("k_val") > 50, 1).otherwise(0))
+        .cast("long")
+        .alias("n_high"),
+    )
+
+
+SQL_PROPS_JSON_STATS = """
+SELECT event_type, count(*) AS n,
+       CAST(min(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+         AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+         AS max_k,
+       CAST(sum(CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) > 50
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM events GROUP BY 1
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1900,4 +1932,5 @@ QUERIES = {
     "event_range_counts": (q_event_range_counts, SQL_EVENT_RANGE_COUNTS),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     "salted_skew_agg": (q_salted_skew_agg, SQL_SALTED_SKEW_AGG),
+    "props_json_stats": (q_props_json_stats, SQL_PROPS_JSON_STATS),
 }

@@ -607,3 +607,107 @@ def windowed_event_stats_stream(
         .option("path", out_path)
         .start()
     )
+
+
+def start_asof_enrichment(
+    spark: SparkSession,
+    source_dir: str,
+    quotes_path: str,
+    checkpoint_dir: str,
+    out_path: str,
+    *,
+    on: list[str] | None = None,
+    probe_time: str = "ts",
+    quote_time: str = "ts",
+    tiebreak: str | None = None,
+    quote_buckets: int = 16,
+    bucketed_quotes_path: str | None = None,
+    event_schema: str = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ),
+):
+    """Stream-static as-of enrichment: each micro-batch of events is
+    as-of joined (operators/asof.py, backward) against a STATIC quote
+    history — e.g. attach the most recent dimension snapshot at event
+    time.
+
+    Scale design — the naive per-trigger `asof_join(batch, quotes)`
+    re-shuffles the ENTIRE static history every micro-batch (the same
+    per-trigger-history scan class as the r4 incremental-clustering
+    bug). Instead the quote table is re-materialized ONCE at stream
+    start partitioned by `qb = pmod(xxhash64(key), quote_buckets)`
+    (the same file-pruning trick as the maintained band index,
+    `_write_band_partition`), and each trigger:
+
+      1. collects the batch's distinct qb values (bounded by
+         quote_buckets) → partition/file pruning on the quote read;
+      2. broadcast-semi-joins the surviving quotes on the batch's
+         actual keys — history volume entering the merge is only the
+         batch's keys' history;
+      3. runs the merge as-of join (one shuffle on the key, O(batch +
+         matched-history) rows through the exchange).
+
+    Writes enriched rows + batch_id to `out_path` (append, availableNow
+    trigger), mirroring start_neardup_flagging's idempotency level.
+    Batch-equality twin tested in
+    tests/test_streaming_multimodal.py::test_streaming_asof_enrichment.
+    """
+    from libchunk_spark.operators.asof import asof_join
+
+    keys = list(on) if on is not None else ["user_id"]
+    if bucketed_quotes_path is None:
+        bucketed_quotes_path = out_path.rstrip("/") + "_quotesidx"
+
+    qb_expr = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), quote_buckets)
+    (
+        spark.read.parquet(quotes_path)
+        .withColumn("qb", qb_expr)
+        .write.mode("overwrite")
+        .partitionBy("qb")
+        .parquet(bucketed_quotes_path)
+    )
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = batch.localCheckpoint()
+        batch_keys = batch.select(*keys).distinct()
+        qbs = [
+            r["qb"]
+            for r in batch_keys.withColumn("qb", qb_expr)
+            .select("qb")
+            .distinct()
+            .collect()
+        ]
+        quotes = (
+            spark.read.parquet(bucketed_quotes_path)
+            .where(F.col("qb").isin(qbs))
+            .drop("qb")
+            .join(F.broadcast(batch_keys), on=keys, how="left_semi")
+        )
+        enriched = asof_join(
+            batch,
+            quotes,
+            on=keys,
+            left_time=probe_time,
+            right_time=quote_time,
+            tiebreak=tiebreak,
+        )
+        (
+            enriched.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    stream = (
+        spark.readStream.schema(event_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -811,3 +811,70 @@ def test_returning_user_after_eviction_does_not_overwrite(spark, tmp_path):
     )
     # BOTH user-1 sessions survive; each restarted numbering at 0
     assert user1 == [(e0, 0, 1, 10), (e0 + 9 * 3600, 0, 1, 13)]
+
+
+def test_streaming_asof_enrichment(spark, tmp_path):
+    """Stream-static as-of enrichment must equal the batch asof_join
+    over the same rows, across multiple micro-batches, with the quote
+    side pruned per trigger (bucket partition + key semi-join)."""
+    from libchunk_spark.operators.asof import asof_join
+    from libchunk_spark.streaming.ingest import start_asof_enrichment
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    probes = ev.where("event_type = 'purchase'").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    quotes = (
+        ev.where("event_type in ('click','view')")
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("src_event"),
+            F.col("event_type").alias("src_type"),
+        )
+    )
+    qpath = str(tmp_path / "quotes")
+    quotes.write.parquet(qpath)
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    probes.where("event_id % 3 = 0").coalesce(1).write.parquet(f"{src}/b1")
+    probes.where("event_id % 3 = 1").coalesce(1).write.parquet(f"{src}/b2")
+    probes.where("event_id % 3 = 2").coalesce(1).write.parquet(f"{src}/b3")
+
+    out = str(tmp_path / "enriched")
+    q = start_asof_enrichment(
+        spark,
+        f"{src}/*",
+        qpath,
+        str(tmp_path / "ckpt"),
+        out,
+        on=["user_id"],
+        tiebreak="src_event",
+        quote_buckets=4,
+    )
+    assert q.awaitTermination(180)
+
+    got = {
+        (r["event_id"], r["src_event"], r["src_type"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["event_id"], r["src_event"], r["src_type"])
+        for r in asof_join(
+            probes,
+            quotes,
+            on=["user_id"],
+            left_time="ts",
+            right_time="ts",
+            tiebreak="src_event",
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == probes.count()
+    assert any(s is not None for (_, s, _) in got)
+    # three files → three batch_ids (per-trigger pruning exercised 3x)
+    n_batches = (
+        spark.read.parquet(out).select("batch_id").distinct().count()
+    )
+    assert n_batches == 3
