@@ -87,6 +87,7 @@ def main() -> None:
         "event_range_counts",
         "revenue_rollup",
         "salted_skew_agg",
+        "props_json_stats",
     ]
 
     # --- synthetic source-code corpus for the pipeline phases (built once,
