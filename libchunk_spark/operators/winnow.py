@@ -1,0 +1,102 @@
+"""Robust winnowing document fingerprints (MOSS-style), map-only.
+
+Implements the winnowing algorithm of Schleimer, Wilkerson & Aiken,
+"Winnowing: Local Algorithms for Document Fingerprinting" (SIGMOD 2003) —
+the classic source-code near-duplicate / plagiarism fingerprint selector —
+entirely with Spark array higher-order functions, so fingerprint selection
+is a MAP-ONLY projection: no shuffle, no UDF, full whole-stage codegen.
+This complements the repo's MinHash/SimHash signatures (operators/sign.py)
+with the guarantee-carrying local fingerprint family: any substring match
+of length >= t = w + k - 1 between two documents is witnessed by at least
+one shared selected fingerprint hash (the paper's Theorem; the property
+test in tests/test_winnow.py checks exactly this on planted substrings).
+
+Algorithm per document:
+  1. hash every char k-gram (40-bit: first 10 hex chars of md5 — the same
+     portable construction as the repo's 60-bit gram hash, shortened so the
+     (hash, position) pair packs into one 64-bit integer);
+  2. encode enc = hash * 2^20 + (2^20 - 1 - pos mod 2^20), so the natural
+     integer order on enc is (hash asc, position desc): the minimum of a
+     window is the minimal hash with the RIGHTMOST position on ties —
+     robust winnowing's tie-break — computed by a plain array_min;
+  3. slide a w-window over the k-gram sequence and keep the distinct
+     window minima (array_distinct of per-window array_min over slices).
+
+Scale: selection is per-row compute over the text column (O(n*w) with
+tiny constants), so it parallelizes embarrassingly at 10^12 files with
+zero exchange. Candidate pairing over the selected fingerprints reuses
+the bounded self-join discipline of the n-gram queries (document-
+frequency cap before the equi-join) — see queries.py::q_winnow_pairs.
+
+Reference parity note: the reference repo (advdv/libchunk) has no
+fingerprint operator — this is part of the beyond-reference training-data
+surface (SURVEY.md §2 "Beyond the reference"); the algorithm is public
+(SIGMOD 2003 paper, §4 "winnowing" and §5.2 "robust winnowing").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Guarantee threshold t = WINNOW_W + WINNOW_K - 1 = 11 chars: any common
+# substring of >= 11 chars shares a fingerprint (collision-free hashes).
+WINNOW_K = 8  # char k-gram width
+WINNOW_W = 4  # winnowing window (in k-grams)
+POS_BITS = 20
+POS_MOD = 1 << POS_BITS  # position packs into the low 20 bits of enc
+
+
+def _h40(col: Column) -> Column:
+    """Portable 40-bit gram hash: first 10 hex chars of md5 — identical
+    construction in the DuckDB oracle (queries.py::_SQL_WINNOW_FPS)."""
+    return F.conv(F.substring(F.md5(col), 1, 10), 16, 10).cast("long")
+
+
+def winnow_selected(text: Column, k: int = WINNOW_K, w: int = WINNOW_W) -> Column:
+    """array<long> of distinct selected encodings enc = h*2^20 + (2^20-1-pos%2^20).
+
+    Map-only expression (no shuffle, no UDF). Documents shorter than k
+    chars contribute their single (padded-by-substr) gram; documents with
+    fewer than w k-grams select the global minimum (one window covering
+    all grams) — mirrored exactly in the SQL oracle via i >= least(w, m).
+    Fingerprint hash = enc >> 20 (use F.shiftright, never float division:
+    doubles lose integer precision above 2^53).
+    """
+    if isinstance(text, str):
+        text = F.col(text)
+    n = F.greatest(F.length(text) - (k - 1), F.lit(1))
+    encs = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: _h40(text.substr(i, F.lit(k))) * F.lit(POS_MOD)
+        + (F.lit(POS_MOD - 1) - F.pmod(i, F.lit(POS_MOD))),
+    )
+    m = F.size(encs)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.least(F.lit(w), m), m),
+            lambda j: F.array_min(
+                F.slice(encs, F.greatest(j - (w - 1), F.lit(1)), w)
+            ),
+        )
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """(id, fp) rows: distinct selected fingerprint HASHES per document.
+
+    Positions are dropped after selection (>> 20), matching the paper's
+    fingerprint-set formulation used for all-pairs matching.
+    """
+    sel = winnow_selected(F.col(text_col), k, w)
+    return (
+        df.select(F.col(id_col), F.explode(sel).alias("enc"))
+        .select(id_col, F.shiftright(F.col("enc"), POS_BITS).alias("fp"))
+        .distinct()
+    )
