@@ -88,6 +88,13 @@ def main() -> None:
         "revenue_rollup",
         "salted_skew_agg",
         "props_json_stats",
+        "winnow_fingerprints",
+        "winnow_pairs",
+        "clone_type2_groups",
+        "source_similarity",
+        "tfidf_top_terms",
+        "event_type_pivot",
+        "approx_distinct_users",
     ]
 
     # --- synthetic source-code corpus for the pipeline phases (built once,

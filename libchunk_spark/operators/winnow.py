@@ -53,24 +53,34 @@ def _h40(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 10), 16, 10).cast("long")
 
 
-def winnow_selected(text: Column, k: int = WINNOW_K, w: int = WINNOW_W) -> Column:
-    """array<long> of distinct selected encodings enc = h*2^20 + (2^20-1-pos%2^20).
-
-    Map-only expression (no shuffle, no UDF). Documents shorter than k
-    chars contribute their single (padded-by-substr) gram; documents with
-    fewer than w k-grams select the global minimum (one window covering
-    all grams) — mirrored exactly in the SQL oracle via i >= least(w, m).
-    Fingerprint hash = enc >> 20 (use F.shiftright, never float division:
-    doubles lose integer precision above 2^53).
-    """
+def winnow_encs(text: Column, k: int = WINNOW_K) -> Column:
+    """array<long> of position-packed k-gram hash encodings
+    enc = h40*2^20 + (2^20-1 - pos%2^20) — the expensive (md5-per-gram)
+    half of selection. MATERIALIZE this as its own column (alias it in a
+    select) before windowing: Catalyst performs no common-subexpression
+    elimination inside higher-order-function lambdas, so a single fused
+    expression re-hashes the whole gram array once PER WINDOW — O(n^2)
+    md5 calls per document (measured 145 s vs ~2 s at sf0.01 bench)."""
     if isinstance(text, str):
         text = F.col(text)
     n = F.greatest(F.length(text) - (k - 1), F.lit(1))
-    encs = F.transform(
+    return F.transform(
         F.sequence(F.lit(1), n),
         lambda i: _h40(text.substr(i, F.lit(k))) * F.lit(POS_MOD)
         + (F.lit(POS_MOD - 1) - F.pmod(i, F.lit(POS_MOD))),
     )
+
+
+def winnow_from_encs(encs: Column, w: int = WINNOW_W) -> Column:
+    """array<long> of DISTINCT selected encodings given a materialized
+    encs column: per window-end j, array_min of the w-slice — O(n*w)
+    array reads, zero hashing. Documents with fewer than w k-grams select
+    the global minimum (one whole-doc window) — mirrored in the SQL
+    oracle via i >= least(w, m). Fingerprint hash = enc >> 20 (use
+    F.shiftright, never float division: doubles lose integer precision
+    above 2^53)."""
+    if isinstance(encs, str):
+        encs = F.col(encs)
     m = F.size(encs)
     return F.array_distinct(
         F.transform(
@@ -80,6 +90,15 @@ def winnow_selected(text: Column, k: int = WINNOW_K, w: int = WINNOW_W) -> Colum
             ),
         )
     )
+
+
+def winnow_selected(text: Column, k: int = WINNOW_K, w: int = WINNOW_W) -> Column:
+    """Single-expression variant (tests/short texts ONLY — see
+    winnow_encs: in a query, project winnow_encs first or selection goes
+    quadratic in md5 calls)."""
+    if isinstance(text, str):
+        text = F.col(text)
+    return winnow_from_encs(winnow_encs(text, k), w)
 
 
 def winnow_fingerprints(
@@ -92,11 +111,20 @@ def winnow_fingerprints(
     """(id, fp) rows: distinct selected fingerprint HASHES per document.
 
     Positions are dropped after selection (>> 20), matching the paper's
-    fingerprint-set formulation used for all-pairs matching.
-    """
-    sel = winnow_selected(F.col(text_col), k, w)
+    fingerprint-set formulation used for all-pairs matching. Two-step
+    projection: the md5 encoding array is aliased to a real column so the
+    window pass reads it instead of re-deriving it (the multiply-
+    referenced non-cheap alias also blocks CollapseProject from fusing
+    the steps back into the quadratic form — plan-asserted in
+    tests/test_winnow.py)."""
+    staged = df.select(
+        F.col(id_col), winnow_encs(F.col(text_col), k).alias("_encs")
+    )
     return (
-        df.select(F.col(id_col), F.explode(sel).alias("enc"))
+        staged.select(
+            F.col(id_col),
+            F.explode(winnow_from_encs(F.col("_encs"), w)).alias("enc"),
+        )
         .select(id_col, F.shiftright(F.col("enc"), POS_BITS).alias("fp"))
         .distinct()
     )

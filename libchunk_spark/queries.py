@@ -1881,6 +1881,387 @@ FROM events GROUP BY 1
 
 # ----------------------------------------------------------------- registry
 
+# --------------------------------------------------- winnowing fingerprints
+
+# Winnowed-fingerprint doc-frequency cap (same boilerplate-bounding role as
+# NGRAM_DF_CAP) and the match-score threshold that flags a near-dup pair.
+WINNOW_DF_CAP = 64
+WINNOW_SCORE_THRESHOLD = 0.5
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust winnowing fingerprint summary per document (Schleimer et al.
+    SIGMOD 2003; operators/winnow.py). Selection is MAP-ONLY — array
+    higher-order functions over the text column, zero shuffle — so at
+    10^12 files this is a pure scan-side projection; only the tiny per-doc
+    summary aggregates here (and it folds into the same projection:
+    no groupBy at all)."""
+    from libchunk_spark.operators.winnow import winnow_encs, winnow_from_encs
+
+    # staged projections: each expensive alias is referenced 2+ times by
+    # the next step, which blocks CollapseProject — the md5 gram hashing
+    # runs exactly once per doc (plan-asserted in tests/test_winnow.py;
+    # the fused single-expression form re-hashes per window: O(n^2) md5)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", winnow_encs(F.col("text")).alias("_encs"))
+        .select("doc_id", winnow_from_encs(F.col("_encs")).alias("_sel"))
+        .select(
+            "doc_id",
+            F.size("_sel").cast("long").alias("n_sel"),
+            F.array_distinct(
+                F.transform("_sel", lambda e: F.shiftright(e, 20))
+            ).alias("_fps"),
+        )
+        .select(
+            "doc_id",
+            "n_sel",
+            F.size("_fps").cast("long").alias("n_fp"),
+            F.array_min("_fps").alias("min_fp"),
+        )
+    )
+
+
+# Shared oracle CTE: the window-function formulation of robust winnowing —
+# per-window min of enc = h40*2^20 + (2^20-1 - pos%2^20) ties to the
+# RIGHTMOST minimal hash exactly like the Spark array_min over the same
+# encoding. i >= least(w, m) keeps one whole-doc window for short docs.
+_SQL_WINNOW_FPS = """
+grams AS (
+  SELECT doc_id, i,
+         CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 10)) AS UBIGINT)::BIGINT * 1048576
+           + (1048575 - (i % 1048576)) AS enc
+  FROM documents, LATERAL (SELECT unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i)
+),
+wmins AS (
+  SELECT doc_id, i,
+         min(enc) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS enc_min,
+         count(*) OVER (PARTITION BY doc_id) AS m
+  FROM grams
+),
+sel AS (SELECT DISTINCT doc_id, enc_min FROM wmins WHERE i >= least(4, m)),
+fps AS (SELECT DISTINCT doc_id, (enc_min >> 20) AS fp FROM sel)
+"""
+
+SQL_WINNOW_FINGERPRINTS = f"""
+WITH {_SQL_WINNOW_FPS}
+SELECT s.doc_id,
+       (SELECT count(*) FROM sel WHERE sel.doc_id = s.doc_id) AS n_sel,
+       count(*) AS n_fp,
+       min(fp) AS min_fp
+FROM fps s
+GROUP BY s.doc_id
+"""
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed-fingerprint near-dup pairs: docs sharing selected
+    fingerprints, scored by containment shared/min(|A|,|B|) >= 0.5.
+
+    Scale shape mirrors q_ngram_jaccard_pairs: ONE exchange on fp computes
+    the document-frequency cap (window count) and is REUSED by both sides
+    of the self-join, so the gram explosion runs once; the df-cap bounds
+    any fingerprint's fan-out to <= cap^2/2 pairs (license-header
+    boilerplate fingerprints are dropped on both engines identically)."""
+    from pyspark.sql import Window
+
+    from libchunk_spark.operators.winnow import winnow_fingerprints
+
+    fps_all = winnow_fingerprints(_docs(spark, sf_dir))
+    fps = (
+        fps_all.withColumn("df", F.count("*").over(Window.partitionBy("fp")))
+        .where(F.col("df") <= WINNOW_DF_CAP)
+        .drop("df")
+    )
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    l, r = fps.alias("l"), fps.alias("r")
+    pairs = (
+        l.join(r, "fp")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        pairs.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("nb")), "b")
+        .withColumn(
+            "score",
+            F.round(F.col("shared") / F.least("na", "nb"), 4),
+        )
+        .where(F.col("score") >= WINNOW_SCORE_THRESHOLD)
+        .select("a", "b", "shared", "score")
+    )
+
+
+SQL_WINNOW_PAIRS = f"""
+WITH {_SQL_WINNOW_FPS},
+capped AS (
+  SELECT doc_id, fp FROM fps
+  QUALIFY count(*) OVER (PARTITION BY fp) <= {WINNOW_DF_CAP}
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY 1),
+pairs AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS shared
+  FROM capped l JOIN capped r ON l.fp = r.fp AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, shared,
+       round(shared / CAST(least(na.sz, nb.sz) AS DOUBLE), 4) AS score
+FROM pairs
+JOIN sizes na ON na.doc_id = a
+JOIN sizes nb ON nb.doc_id = b
+WHERE round(shared / CAST(least(na.sz, nb.sz) AS DOUBLE), 4) >= {WINNOW_SCORE_THRESHOLD}
+"""
+
+
+# ------------------------------------------------- code-clone / text batch 2
+
+
+def q_clone_type2_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 code-clone groups via alpha-renaming: every token is replaced
+    by the index of its FIRST occurrence in the document ("a b a" and
+    "x y x" both canonicalize to "1 2 1"), the classic identifier-
+    abstraction used by Type-2 clone detectors; groups = sha256 of the
+    canonical pattern. Catches renamed copies that exact sha-dedup misses.
+
+    Scale: canonicalization is a map-only array expression (array_position
+    over the token array — O(tokens^2) per doc with tiny constants, fine
+    for code-file-sized rows); the only shuffle is the group-size window
+    on the 32-byte canon_sha — the same crypto-key, skew-free shuffle
+    discipline as exact_dup_groups."""
+    from pyspark.sql import Window
+
+    t = _tokens()
+    canon = F.concat_ws(
+        " ", F.transform(t, lambda x: F.array_position(t, x).cast("string"))
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.sha2(canon, 256).alias("canon_sha"))
+        .withColumn(
+            "group_size",
+            F.count("*").over(Window.partitionBy("canon_sha")).cast("long"),
+        )
+        .withColumn("is_clone", F.col("group_size") > 1)
+    )
+
+
+SQL_CLONE_TYPE2_GROUPS = """
+WITH canon AS (
+  SELECT doc_id,
+         sha256(array_to_string(list_transform(string_split(text, ' '),
+                x -> list_position(string_split(text, ' '), x)), ' ')) AS canon_sha
+  FROM documents
+)
+SELECT doc_id, canon_sha,
+       count(*) OVER (PARTITION BY canon_sha) AS group_size,
+       count(*) OVER (PARTITION BY canon_sha) > 1 AS is_clone
+FROM canon
+"""
+
+
+def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-level (source-level) similarity: exact Jaccard between the
+    per-source DISTINCT word-3gram sets — the aggregate-container analog
+    of doc near-dup (fork / vendored-copy detection between repos).
+
+    Scale: per-gram fan-out in the self-join is bounded by the number of
+    SOURCES containing the gram (<= |sources|, orders of magnitude below
+    doc count); the distinct() partial-aggregates map-side before the
+    gram shuffle. At very large source counts the same NGRAM_DF_CAP
+    discipline (or per-source MinHash via operators/sign.py) bounds it."""
+    grams = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(_grams3()).alias("gram"))
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count("*").alias("sz"))
+    inter = (
+        grams.alias("l")
+        .join(grams.alias("r"), "gram")
+        .where(F.col("l.source") < F.col("r.source"))
+        .groupBy(
+            F.col("l.source").alias("src_a"), F.col("r.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("na")),
+            "src_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("nb")),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ).alias("jac"),
+        )
+    )
+
+
+SQL_SOURCE_SIMILARITY = f"""
+WITH grams AS (
+  SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS gram
+  FROM (SELECT source, string_split(text, ' ') AS t FROM documents),
+       LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+),
+sizes AS (SELECT source, count(*) AS sz FROM grams GROUP BY 1),
+inter AS (
+  SELECT l.source AS src_a, r.source AS src_b, count(*) AS inter
+  FROM grams l JOIN grams r ON l.gram = r.gram AND l.source < r.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b,
+       round(inter / CAST(na.sz + nb.sz - inter AS DOUBLE), 4) AS jac
+FROM inter
+JOIN sizes na ON na.source = src_a
+JOIN sizes nb ON nb.source = src_b
+"""
+
+
+TFIDF_TOP_K = 3
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k terms by tf-idf (keyword extraction for corpus
+    analysis). Ranking uses tf/df — IEEE division of exact integers, so
+    the order is bit-identical across engines (ln() is last-ulp libm-
+    dependent and only appears in the REPORTED tfidf value, after
+    round(4)); ties break on the term string.
+
+    Scale: two partial-agg shuffles (doc-term tf, term df); the df table
+    is word-vocabulary-sized (distinct words ≪ corpus bytes) and
+    broadcasts; N_docs is a 1-row broadcast. No window over the corpus —
+    the row_number window partitions by doc_id, which is the same key the
+    tf aggregation just shuffled on (no extra exchange)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    terms = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    tfc = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfc = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    nd = docs.select(F.countDistinct("doc_id").alias("nd"))
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf") / F.col("df")).desc(), F.col("term")
+    )
+    return (
+        tfc.join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= TFIDF_TOP_K)
+        .withColumn(
+            "tfidf", F.round(F.col("tf") * F.log(F.col("nd") / F.col("df")), 4)
+        )
+        .select("doc_id", "term", "rnk", "tfidf")
+    )
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tfc AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+ranked AS (
+  SELECT doc_id, term, tf, df,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tf / CAST(df AS DOUBLE) DESC, term) AS rnk
+  FROM tfc JOIN dfc USING (term)
+)
+SELECT doc_id, term, CAST(rnk AS BIGINT) AS rnk,
+       round(tf * ln(nd / CAST(df AS DOUBLE)), 4) AS tfidf
+FROM ranked, nd WHERE rnk <= {TFIDF_TOP_K}
+"""
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational pivot: per-day event counts and value sums spread across
+    one column pair per event type (Catalyst PivotFirst — a single
+    aggregation, NOT one pass per type). The pivot value list is explicit,
+    which is also the 100 TB rule: an unlisted pivot forces a distinct-
+    values pre-query over the full fact table."""
+    piv = (
+        _events(spark, sf_dir)
+        .groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(
+            # count(*) is rejected inside a Pivot aggregate (Spark 4)
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("value"),
+        )
+    )
+    cols = [F.col("day")]
+    for t in EVENT_TYPES:
+        cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"{t}_n"))
+        cols.append(F.col(f"{t}_value"))
+    return piv.select(*cols)
+
+
+_PIVOT_COLS = ",\n  ".join(
+    f"count(*) FILTER (event_type = '{t}') AS {t}_n,\n"
+    f"  round(sum(value) FILTER (event_type = '{t}'), 4) AS {t}_value"
+    for t in EVENT_TYPES
+)
+
+SQL_EVENT_TYPE_PIVOT = f"""
+SELECT CAST(ts AS DATE) AS day,
+  {_PIVOT_COLS}
+FROM events GROUP BY 1
+"""
+
+
+APPROX_DISTINCT_RSD = 0.05  # HLL++ target relative standard deviation
+APPROX_DISTINCT_BOUND = 0.15  # contract: |approx-exact|/exact within 3*rsd
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based distinct counting contract: HyperLogLog++
+    (approx_count_distinct) per event type, value-checked against the
+    exact count with a 3-sigma relative-error bound. The query RETURNS the
+    exact count plus the bound verdict, so the oracle (exact distinct +
+    `true`) red-flags any sketch regression — the same contract-oracle
+    pattern as the ANN recall floors.
+
+    Scale: this is THE distinct-count operator at 100 TB — HLL sketches
+    merge map-side (constant memory per partition) where countDistinct
+    shuffles every distinct value; the exact twin here is the test
+    harness, not the production path."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", rsd=APPROX_DISTINCT_RSD).alias(
+                "approx"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("approx") - F.col("n_exact")) / F.col("n_exact")
+                <= APPROX_DISTINCT_BOUND
+            ).alias("approx_ok"),
+        )
+    )
+
+
+SQL_APPROX_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS approx_ok
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
     "round_trip_sha": (q_round_trip_sha, SQL_ROUND_TRIP_SHA),
@@ -1933,4 +2314,12 @@ QUERIES = {
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     "salted_skew_agg": (q_salted_skew_agg, SQL_SALTED_SKEW_AGG),
     "props_json_stats": (q_props_json_stats, SQL_PROPS_JSON_STATS),
+    "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
+    "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
+    "clone_type2_groups": (q_clone_type2_groups, SQL_CLONE_TYPE2_GROUPS),
+    "source_similarity": (q_source_similarity, SQL_SOURCE_SIMILARITY),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
+    # contract oracle (exact count + bound verdict), like the recall floors
+    "approx_distinct_users": (q_approx_distinct_users, SQL_APPROX_DISTINCT_USERS),
 }
