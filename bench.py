@@ -95,6 +95,7 @@ def main() -> None:
         "tfidf_top_terms",
         "event_type_pivot",
         "approx_distinct_users",
+        "event_rolling_stats",
     ]
 
     # --- synthetic source-code corpus for the pipeline phases (built once,

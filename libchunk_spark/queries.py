@@ -2262,6 +2262,43 @@ FROM events GROUP BY 1
 """
 
 
+ROLLING_WINDOW_SEC = 3600
+
+
+def q_event_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding RANGE-frame window: per event, count and value-sum of the
+    same user's events in the trailing hour (event-time RANGE frame, not
+    ROWS — equal timestamps all enter the frame, late-data-dedup safe).
+    Completes the window-function coverage beyond ROWS frames.
+
+    Scale: one shuffle on user_id (the same key every per-user window in
+    the repo shuffles on); frame evaluation is a per-partition sorted
+    sweep with a sliding aggregate — O(n) per user."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-ROLLING_WINDOW_SEC, 0)
+    )
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("roll_n"),
+        F.round(F.sum("value").over(w), 4).alias("roll_value"),
+    )
+
+
+SQL_EVENT_ROLLING_STATS = f"""
+SELECT event_id, user_id,
+       count(*) OVER w AS roll_n,
+       round(sum(value) OVER w, 4) AS roll_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN {ROLLING_WINDOW_SEC} PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
     "round_trip_sha": (q_round_trip_sha, SQL_ROUND_TRIP_SHA),
@@ -2322,4 +2359,5 @@ QUERIES = {
     "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
     # contract oracle (exact count + bound verdict), like the recall floors
     "approx_distinct_users": (q_approx_distinct_users, SQL_APPROX_DISTINCT_USERS),
+    "event_rolling_stats": (q_event_rolling_stats, SQL_EVENT_ROLLING_STATS),
 }

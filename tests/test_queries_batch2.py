@@ -74,6 +74,53 @@ def test_approx_distinct_contract_holds_at_sf01(spark):
     assert rows and all(r["approx_ok"] for r in rows)
 
 
+def _py_canon(tokens: list[str]) -> str:
+    """First-occurrence alpha-renaming, the pure-Python mirror of the
+    array_position expression."""
+    return " ".join(str(tokens.index(t) + 1) for t in tokens)
+
+
+def test_alpha_renaming_invariance_property():
+    """Hypothesis: canonicalization is invariant under ANY injective token
+    rename (the defining property of Type-2 clone abstraction)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    vocab = [f"t{i}" for i in range(8)]
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        toks=st.lists(st.sampled_from(vocab), min_size=1, max_size=20),
+        perm=st.permutations(vocab),
+    )
+    def run(toks, perm):
+        rename = dict(zip(vocab, perm))
+        assert _py_canon(toks) == _py_canon([rename[t] for t in toks])
+
+    run()
+
+
+def test_spark_canon_matches_python_mirror(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "x1", "y2"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 15)))
+        for _ in range(20)
+    ]
+    t = F.split(F.col("text"), " ")
+    canon = F.concat_ws(
+        " ", F.transform(t, lambda x: F.array_position(t, x).cast("string"))
+    )
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id int, text string"
+    )
+    rows = {r["doc_id"]: r["c"] for r in df.select("doc_id", canon.alias("c")).collect()}
+    for i, s in enumerate(texts):
+        assert rows[i] == _py_canon(s.split(" "))
+
+
 def test_tfidf_ranks_are_dense_topk(spark):
     rows = Q.q_tfidf_top_terms(spark, "/root/testdata/sf0.001").collect()
     by_doc: dict[int, list[int]] = {}
