@@ -128,3 +128,68 @@ def winnow_fingerprints(
         .select(id_col, F.shiftright(F.col("enc"), POS_BITS).alias("fp"))
         .distinct()
     )
+
+
+def winnow_pair_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    df_cap: int = 64,
+) -> DataFrame:
+    """(a, b, shared, score) for document pairs sharing selected
+    fingerprints; score = shared / min(|A|, |B|) (containment form — a
+    small file fully pasted into a big one still scores 1.0).
+
+    Scale shape: fingerprints with document frequency > df_cap are
+    dropped BEFORE the self-join (boilerplate headers otherwise fan out
+    quadratically); the df-cap window and both join sides reuse one
+    exchange over the exploded fingerprints (final-plan-asserted in
+    tests). A single shared 11-char substring is a weak dup signal, so
+    consumers threshold on `score`, not mere co-occurrence."""
+    from pyspark.sql import Window
+
+    fps_all = winnow_fingerprints(df, id_col=id_col, text_col=text_col, k=k, w=w)
+    fps = (
+        fps_all.withColumn("df", F.count("*").over(Window.partitionBy("fp")))
+        .where(F.col("df") <= df_cap)
+        .drop("df")
+    )
+    sizes = fps.groupBy(id_col).agg(F.count("*").alias("sz"))
+    pairs = (
+        fps.alias("l")
+        .join(fps.alias("r"), "fp")
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(
+            F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        pairs.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("na")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("nb")), "b")
+        .withColumn("score", F.round(F.col("shared") / F.least("na", "nb"), 4))
+        .select("a", "b", "shared", "score")
+    )
+
+
+def winnow_candidate_edges(
+    corpus: DataFrame,
+    id_col: str = "file_id",
+    text_col: str = "content",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    df_cap: int = 64,
+    score_threshold: float = 0.5,
+) -> DataFrame:
+    """(a, b) candidate dup edges from winnowed-fingerprint containment —
+    the pipeline's optional third edge source (run_pipeline(with_winnow=
+    True)) alongside MinHash-LSH and SimHash. Winnowing's guarantee is
+    LOCAL (any >= w+k-1-char shared run is witnessed), so this source
+    catches partial-copy/paste relationships whole-document MinHash
+    dilutes below its Jaccard threshold."""
+    scored = winnow_pair_scores(
+        corpus, id_col=id_col, text_col=text_col, k=k, w=w, df_cap=df_cap
+    )
+    return scored.where(F.col("score") >= score_threshold).select("a", "b")

@@ -68,8 +68,15 @@ def run_pipeline(
     with_containment: bool = True,
     bucketed_index: bool = False,
     index_buckets: int = 64,
+    with_winnow: bool = False,
 ) -> PipelineResult:
-    """bucketed_index=True checkpoints the chunk_index stage hash-bucketed
+    """with_winnow=True adds winnowed-fingerprint containment edges
+    (operators/winnow.py::winnow_candidate_edges) as a fourth candidate
+    source — catches partial copy/paste runs whole-document MinHash
+    dilutes; off by default so default cluster outputs stay comparable
+    across rounds.
+
+    bucketed_index=True checkpoints the chunk_index stage hash-bucketed
     and sorted by k (catalog.write_stage_bucketed), so downstream
     assemble/move equi-joins on k read the index pre-co-located — no
     Exchange on the index side (SCALE.md §2; plan pytest in
@@ -127,7 +134,8 @@ def run_pipeline(
             "signatures", lambda: fused_signatures(fused), ["fused"]
         )
 
-    # stage 2: candidate edges (minhash LSH ∪ simhash ∪ containment)
+    # stage 2: candidate edges (minhash LSH ∪ simhash ∪ containment
+    # ∪ optional winnowing)
     def _edges():
         e = minhash_candidate_edges(signatures, cfg).withColumn(
             "source", F.lit("minhash")
@@ -142,6 +150,14 @@ def run_pipeline(
             ver = verify_containment(cand, corpus)
             e = e.unionByName(
                 ver.select("a", "b").withColumn("source", F.lit("substr"))
+            )
+        if with_winnow:
+            from libchunk_spark.operators.winnow import winnow_candidate_edges
+
+            e = e.unionByName(
+                winnow_candidate_edges(corpus).withColumn(
+                    "source", F.lit("winnow")
+                )
             )
         return e
 

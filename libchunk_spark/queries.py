@@ -1964,34 +1964,12 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the self-join, so the gram explosion runs once; the df-cap bounds
     any fingerprint's fan-out to <= cap^2/2 pairs (license-header
     boilerplate fingerprints are dropped on both engines identically)."""
-    from pyspark.sql import Window
+    from libchunk_spark.operators.winnow import winnow_pair_scores
 
-    from libchunk_spark.operators.winnow import winnow_fingerprints
-
-    fps_all = winnow_fingerprints(_docs(spark, sf_dir))
-    fps = (
-        fps_all.withColumn("df", F.count("*").over(Window.partitionBy("fp")))
-        .where(F.col("df") <= WINNOW_DF_CAP)
-        .drop("df")
-    )
-    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    l, r = fps.alias("l"), fps.alias("r")
-    pairs = (
-        l.join(r, "fp")
-        .where(F.col("l.doc_id") < F.col("r.doc_id"))
-        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
-        .agg(F.count("*").alias("shared"))
-    )
-    return (
-        pairs.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("na")), "a")
-        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("nb")), "b")
-        .withColumn(
-            "score",
-            F.round(F.col("shared") / F.least("na", "nb"), 4),
-        )
-        .where(F.col("score") >= WINNOW_SCORE_THRESHOLD)
-        .select("a", "b", "shared", "score")
-    )
+    return winnow_pair_scores(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        df_cap=WINNOW_DF_CAP,
+    ).where(F.col("score") >= WINNOW_SCORE_THRESHOLD)
 
 
 SQL_WINNOW_PAIRS = f"""

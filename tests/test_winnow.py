@@ -90,6 +90,51 @@ def test_winnow_fingerprints_rows(spark):
     assert got[a] & got[b]
 
 
+def test_pipeline_winnow_edge_source(spark, tmp_path_factory):
+    """run_pipeline(with_winnow=True): winnow containment edges join the
+    union, clustering still covers every file, and dup-pair recall vs the
+    brute-force oracle cannot drop (extra edges only ever merge clusters).
+    Note: like with_containment, the flag is not part of the stage
+    fingerprint — resuming a catalog with different edge-source flags
+    reuses the cached cand_pairs stage (fresh catalog per flag set)."""
+    from libchunk_spark.config import CORPUS_PIPELINE_CONFIG as CFG
+    from libchunk_spark.fixtures import corpus_to_spark, generate_corpus
+    from libchunk_spark.oracle import oracle_dup_pairs, pair_recall
+    from libchunk_spark.pipeline import run_pipeline
+    from libchunk_spark.sources.catalog import StageCatalog
+
+    rows = generate_corpus(n_files=60, seed=11)
+    corpus = corpus_to_spark(spark, rows).cache()
+    oracle = oracle_dup_pairs(
+        [r.file_id for r in rows],
+        [r.content.encode() for r in rows],
+        CFG,
+    )
+
+    base = run_pipeline(
+        corpus, CFG,
+        StageCatalog(root=str(tmp_path_factory.mktemp("winnow_off"))),
+        with_containment=False,
+    )
+    withw = run_pipeline(
+        corpus, CFG,
+        StageCatalog(root=str(tmp_path_factory.mktemp("winnow_on"))),
+        with_containment=False, with_winnow=True,
+    )
+    srcs = {r["source"] for r in withw.edges.select("source").distinct().collect()}
+    assert "winnow" in srcs
+    assert withw.components.count() == corpus.count()
+
+    def assignment(res):
+        return {
+            r["file_id"]: r["component"] for r in res.components.collect()
+        }
+
+    r_base = pair_recall(assignment(base), oracle)
+    r_with = pair_recall(assignment(withw), oracle)
+    assert r_with >= r_base
+
+
 @settings(max_examples=200, deadline=None)
 @given(
     prefix_a=st.text(ALPHA, max_size=30),
