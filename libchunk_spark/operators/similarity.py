@@ -323,6 +323,20 @@ def train_centroids(
     return centroids
 
 
+def _train(
+    emb: DataFrame, n_cells: int, iters: int, seed: int, train: str
+) -> np.ndarray:
+    """Trainer dispatch: "sample" (bounded driver sample, default) or
+    "parallel" (distributed k-means||, operators/kmeans.py)."""
+    if train == "parallel":
+        from libchunk_spark.operators.kmeans import train_centroids_parallel
+
+        return train_centroids_parallel(emb, n_cells, seed=seed)
+    if train == "sample":
+        return train_centroids(emb, n_cells, iters, seed)
+    raise ValueError(f"unknown train mode {train!r}")
+
+
 def ivf_assign(
     emb: DataFrame, centroids: np.ndarray, nprobe: int = 1
 ) -> DataFrame:
@@ -366,6 +380,7 @@ def ivf_pairs(
     iters: int = 4,
     seed: int = 7,
     nprobe: int = 3,
+    train: str = "sample",
 ) -> DataFrame:
     """ANN cosine pairs: exact cosine within each (multi-probed) IVF cell.
 
@@ -374,8 +389,13 @@ def ivf_pairs(
     overlap). Cells are processed via repartition("cell") + applyInPandas so
     each cell's matmul is local to one task; duplicate pairs from multi-
     probe are removed with dropDuplicates.
+
+    train="parallel" switches centroid training to the fully distributed
+    k-means|| path (operators/kmeans.py) — same (n_cells, dim) output,
+    driver memory O(n_cells) instead of O(n_cells * 64): the knob for
+    very large n_cells (SCALE.md known-limits row, now closed).
     """
-    centroids = train_centroids(emb, n_cells, iters, seed)
+    centroids = _train(emb, n_cells, iters, seed, train)
     assigned = ivf_assign(emb, centroids, nprobe=nprobe)
 
     def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -409,6 +429,7 @@ def topk_ivf(
     seed: int = 7,
     nprobe: int = 3,
     index_probe: int = 2,
+    train: str = "sample",
 ) -> DataFrame:
     """IVF-probed top-k retrieval: (q, cand, sim, rank), rank <= k.
 
@@ -432,7 +453,7 @@ def topk_ivf(
     """
     from pyspark.sql import Window
 
-    centroids = train_centroids(emb, n_cells, iters, seed)
+    centroids = _train(emb, n_cells, iters, seed, train)
     cands = ivf_assign(emb, centroids, nprobe=index_probe).withColumn(
         "is_query", F.lit(False)
     )
