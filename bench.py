@@ -96,6 +96,7 @@ def main() -> None:
         "event_type_pivot",
         "approx_distinct_users",
         "event_rolling_stats",
+        "order_late_shipment",
     ]
 
     # --- synthetic source-code corpus for the pipeline phases (built once,

@@ -2277,6 +2277,51 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
 """
 
 
+def q_order_late_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped EXISTS: per order priority, how many orders have at
+    least one lineitem shipped > 60 days after the order date. The
+    correlated EXISTS plans as a LEFT SEMI join — each order counted at
+    most once no matter how many late lineitems it has, and the probe
+    side never duplicates rows (the at-scale reason EXISTS beats
+    join+distinct).
+
+    Scale: semi-join shuffles on the order key (uniform); the extra
+    non-equi conjunct (shipdate vs orderdate+60d) evaluates inside the
+    join, not as a post-filter on a fanned-out join product."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    late = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    totals = o.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+    lates = late.groupBy("o_orderpriority").agg(F.count("*").alias("n_late"))
+    return (
+        totals.join(lates, "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.coalesce("n_late", F.lit(0)).cast("long").alias("n_late"),
+        )
+    )
+
+
+SQL_ORDER_LATE_SHIPMENT = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CASE WHEN EXISTS (
+           SELECT 1 FROM lineitem l
+           WHERE l.l_orderkey = o.o_orderkey
+             AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+         THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM orders o GROUP BY 1
+"""
+
+
 QUERIES = {
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
     "round_trip_sha": (q_round_trip_sha, SQL_ROUND_TRIP_SHA),
@@ -2338,4 +2383,5 @@ QUERIES = {
     # contract oracle (exact count + bound verdict), like the recall floors
     "approx_distinct_users": (q_approx_distinct_users, SQL_APPROX_DISTINCT_USERS),
     "event_rolling_stats": (q_event_rolling_stats, SQL_EVENT_ROLLING_STATS),
+    "order_late_shipment": (q_order_late_shipment, SQL_ORDER_LATE_SHIPMENT),
 }
