@@ -121,6 +121,20 @@ def test_spark_canon_matches_python_mirror(spark):
         assert rows[i] == _py_canon(s.split(" "))
 
 
+def test_bench_timed_queries_are_registered():
+    """Every name in bench.py's timed list must exist in the registry —
+    a typo here crashes the driver's per-round bench run."""
+    import re
+
+    src = open("bench.py").read()
+    m = re.search(r"QUERY_NAMES = \[(.*?)\]", src, re.S)
+    assert m
+    names = re.findall(r'"([a-z_0-9]+)"', m.group(1))
+    assert len(names) >= 30
+    missing = [n for n in names if n not in Q.QUERIES]
+    assert not missing, missing
+
+
 def test_tfidf_ranks_are_dense_topk(spark):
     rows = Q.q_tfidf_top_terms(spark, "/root/testdata/sf0.001").collect()
     by_doc: dict[int, list[int]] = {}
