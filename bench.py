@@ -97,6 +97,9 @@ def main() -> None:
         "approx_distinct_users",
         "event_rolling_stats",
         "order_late_shipment",
+        "lsh_eval_metrics",
+        "edit_sim_pairs",
+        "dir_merkle",
     ]
 
     # --- synthetic source-code corpus for the pipeline phases (built once,

@@ -2322,6 +2322,199 @@ FROM orders o GROUP BY 1
 """
 
 
+def q_lsh_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star dup-pair recall metric as a first-class auditable
+    query: LSH candidate pairs vs the exact df-capped word-3gram-Jaccard
+    ground truth (>= NGRAM_JACCARD_THRESHOLD), returning one row of
+    tp / fp / fn / precision / recall.
+
+    This is the measurement a dedup pipeline MUST keep running at sample
+    scale: the north rule's "dup-pair recall >= 0.99" is a number someone
+    has to compute, and computing it is itself a join-shaped workload.
+    Scale shape: the ground-truth side is the expensive exact all-pairs
+    (df-capped, so bounded) — run this on a stratified SAMPLE of the
+    corpus at 10^12 files (sample_stratified is the companion operator),
+    never on the full corpus; the metric estimate converges at sample
+    sizes a single executor can verify. The three aggregates reuse one
+    scan each and the tp join is pair-key equi — no new blowup beyond
+    the ground truth itself.
+    """
+    truth = q_ngram_jaccard_pairs(spark, sf_dir).select("a", "b")
+    cand = q_lsh_band_pairs(spark, sf_dir).select("a", "b")
+    tp = truth.join(cand, ["a", "b"]).agg(F.count("*").alias("tp"))
+    nt = truth.agg(F.count("*").alias("n_truth"))
+    nc = cand.agg(F.count("*").alias("n_cand"))
+    return (
+        tp.crossJoin(nt)
+        .crossJoin(nc)
+        .select(
+            "tp",
+            (F.col("n_cand") - F.col("tp")).alias("fp"),
+            (F.col("n_truth") - F.col("tp")).alias("fn"),
+            F.round(F.col("tp") / F.col("n_cand"), 4).alias("prec"),
+            F.round(F.col("tp") / F.col("n_truth"), 4).alias("recall"),
+        )
+    )
+
+
+SQL_LSH_EVAL_METRICS = f"""
+WITH truth AS (SELECT a, b FROM ({SQL_NGRAM_JACCARD_PAIRS})),
+cand AS ({SQL_LSH_BAND_PAIRS}),
+tp AS (SELECT CAST(count(*) AS BIGINT) AS tp
+       FROM truth JOIN cand USING (a, b)),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand)
+SELECT tp, n_cand - tp AS fp, n_truth - tp AS fn,
+       round(tp / CAST(n_cand AS DOUBLE), 4) AS prec,
+       round(tp / CAST(n_truth AS DOUBLE), 4) AS recall
+FROM tp, nt, nc
+"""
+
+
+EDIT_SIM_THRESHOLD = 0.6
+
+
+def q_edit_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of LSH candidate pairs — the rerank /
+    verify stage after banding: normalized Levenshtein similarity
+    1 - dist/max(len) >= threshold, computed ONLY on the bounded
+    candidate set (never all-pairs).
+
+    Exact-preserving prefilter: |len_a - len_b| <= (1-t)*max(len) — the
+    length gap lower-bounds edit distance, so pairs skipped by the
+    prefilter provably fail the threshold. At scale this is the lever:
+    the O(len^2) distance kernel runs only on length-compatible
+    candidates, and the two doc-side joins are plain equi-joins on
+    doc_id (sort-merge, no fan-out beyond the candidate list). Mirrors
+    the reference's verify-before-claim discipline
+    (bits/get.go:59-66 length-checks before decrypt).
+    """
+    pairs = q_lsh_band_pairs(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", F.length("text").alias("ln")
+    )
+    j = (
+        pairs.join(
+            docs.select(
+                F.col("doc_id").alias("a"),
+                F.col("text").alias("ta"),
+                F.col("ln").alias("la"),
+            ),
+            "a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("b"),
+                F.col("text").alias("tb"),
+                F.col("ln").alias("lb"),
+            ),
+            "b",
+        )
+        .where(
+            F.abs(F.col("la") - F.col("lb"))
+            <= (1 - EDIT_SIM_THRESHOLD) * F.greatest("la", "lb")
+        )
+        .withColumn(
+            "dist", F.levenshtein("ta", "tb").cast("long")
+        )
+        .withColumn(
+            "edit_sim",
+            F.round(1 - F.col("dist") / F.greatest("la", "lb"), 4),
+        )
+        .where(F.col("edit_sim") >= EDIT_SIM_THRESHOLD)
+    )
+    return j.select("a", "b", "dist", "edit_sim")
+
+
+SQL_EDIT_SIM_PAIRS = f"""
+WITH cand AS ({SQL_LSH_BAND_PAIRS}),
+j AS (
+  SELECT cand.a, cand.b,
+         da.text AS ta, db.text AS tb,
+         length(da.text) AS la, length(db.text) AS lb
+  FROM cand
+  JOIN documents da ON da.doc_id = cand.a
+  JOIN documents db ON db.doc_id = cand.b
+  WHERE abs(length(da.text) - length(db.text))
+        <= (1 - {EDIT_SIM_THRESHOLD}) * greatest(length(da.text), length(db.text))
+)
+SELECT a, b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist,
+       round(1 - levenshtein(ta, tb) / CAST(greatest(la, lb) AS DOUBLE), 4)
+         AS edit_sim
+FROM j
+WHERE round(1 - levenshtein(ta, tb) / CAST(greatest(la, lb) AS DOUBLE), 4)
+      >= {EDIT_SIM_THRESHOLD}
+"""
+
+
+DIR_FANOUT = 16  # synthetic directory derivation (FIXTURES.md §6: path=doc_id)
+
+
+def q_dir_merkle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle subtree identity: content-addressable DIRECTORY hashes —
+    per (repo=source, dir) the sha256 over the doc_id-ordered per-file
+    content hashes, plus how many of the dir's files share content with
+    any other file in the corpus.
+
+    This is libchunk's K-key idea (bits/bits.go:70, sha256 content
+    address) lifted one level up the tree: identical directories get
+    identical Merkle roots regardless of location, so whole vendored /
+    forked subtrees dedup by a single group-by on the root — the same
+    reason the reference dedups chunks by K. Directories are synthesized
+    deterministically (dir = doc_id % DIR_FANOUT) since the driver table
+    maps path=doc_id (fixtures.documents_as_corpus).
+
+    Scale shape: two shuffles — one on content hash (df counts; crypto
+    keys, skew-free) and one on (repo, dir). The ordered fold is
+    collect_list bounded by files-per-directory; at 10^12 files a
+    pathological million-file directory rolls up hierarchically
+    (path-component levels), each level the same bounded groupBy.
+    """
+    files = _docs(spark, sf_dir).select(
+        "source",
+        (F.col("doc_id") % DIR_FANOUT).alias("dirname"),
+        "doc_id",
+        F.sha2("text", 256).alias("h"),
+    )
+    hc = files.groupBy("h").agg(F.count("*").alias("cnt"))
+    return (
+        files.join(hc, "h")
+        .groupBy("source", "dirname")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+            F.sha2(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "h"))),
+                        lambda s: s["h"],
+                    ),
+                    "",
+                ),
+                256,
+            ).alias("merkle"),
+        )
+        .select("source", "dirname", "n_files", "n_shared", "merkle")
+    )
+
+
+SQL_DIR_MERKLE = f"""
+WITH files AS (
+  SELECT source, doc_id % {DIR_FANOUT} AS dirname, doc_id, sha256(text) AS h
+  FROM documents
+),
+hc AS (SELECT h, count(*) AS cnt FROM files GROUP BY h)
+SELECT source, dirname,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(count(*) FILTER (WHERE cnt > 1) AS BIGINT) AS n_shared,
+       sha256(string_agg(h, '' ORDER BY doc_id)) AS merkle
+FROM files JOIN hc USING (h)
+GROUP BY source, dirname
+"""
+
+
 QUERIES = {
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
     "round_trip_sha": (q_round_trip_sha, SQL_ROUND_TRIP_SHA),
@@ -2384,4 +2577,8 @@ QUERIES = {
     "approx_distinct_users": (q_approx_distinct_users, SQL_APPROX_DISTINCT_USERS),
     "event_rolling_stats": (q_event_rolling_stats, SQL_EVENT_ROLLING_STATS),
     "order_late_shipment": (q_order_late_shipment, SQL_ORDER_LATE_SHIPMENT),
+    # the north-star recall metric, itself oracle-audited
+    "lsh_eval_metrics": (q_lsh_eval_metrics, SQL_LSH_EVAL_METRICS),
+    "edit_sim_pairs": (q_edit_sim_pairs, SQL_EDIT_SIM_PAIRS),
+    "dir_merkle": (q_dir_merkle, SQL_DIR_MERKLE),
 }
