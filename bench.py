@@ -100,6 +100,8 @@ def main() -> None:
         "lsh_eval_metrics",
         "edit_sim_pairs",
         "dir_merkle",
+        "cluster_stats",
+        "approx_event_quantiles",
     ]
 
     # --- synthetic source-code corpus for the pipeline phases (built once,

@@ -2515,6 +2515,124 @@ GROUP BY source, dirname
 """
 
 
+def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality audit: per non-singleton component its size, its
+    intra-cluster candidate-edge count, and edge density
+    n_edges / (n_docs choose 2) — the dashboard a dedup operator reads to
+    spot over-merged clusters (huge + sparse = a chain of borderline
+    bands glued transitively) before acting on verdicts.
+
+    Scale shape: the edge→component mapping is an equi-join on doc_id
+    (edges carry their endpoints; components are the cheap side), then
+    two grouped counts on component. A giant component concentrates its
+    edge COUNT, not its edge list — the aggregates partial-combine
+    map-side, so skew hits one count cell, not a shuffle of all pairs.
+    """
+    comp = q_components(spark, sf_dir)
+    edges = q_lsh_band_pairs(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("n_docs"))
+    ec = (
+        edges.join(
+            comp.select(F.col("doc_id").alias("a"), "component"), "a"
+        )
+        .groupBy("component")
+        .agg(F.count("*").alias("n_edges"))
+    )
+    return (
+        sizes.where(F.col("n_docs") >= 2)
+        .join(ec, "component", "left")
+        .select(
+            "component",
+            "n_docs",
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            F.round(
+                F.coalesce("n_edges", F.lit(0))
+                / (F.col("n_docs") * (F.col("n_docs") - 1) / 2.0),
+                4,
+            ).alias("density"),
+        )
+    )
+
+
+SQL_CLUSTER_STATS = f"""
+WITH comp AS (SELECT * FROM ({SQL_COMPONENTS})),
+cand AS ({SQL_LSH_BAND_PAIRS}),
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS n_docs
+          FROM comp GROUP BY 1),
+ec AS (SELECT c.component, CAST(count(*) AS BIGINT) AS n_edges
+       FROM cand p JOIN comp c ON c.doc_id = p.a GROUP BY 1)
+SELECT component, n_docs,
+       coalesce(n_edges, 0) AS n_edges,
+       round(coalesce(n_edges, 0) / (n_docs * (n_docs - 1) / 2.0), 4)
+         AS density
+FROM sizes LEFT JOIN ec USING (component)
+WHERE n_docs >= 2
+"""
+
+
+APPROX_QUANTILE_ACCURACY = 10000
+APPROX_QUANTILE_BAND = 0.02  # quantile-rank tolerance around each target
+
+
+def q_approx_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch contract: percentile_approx (Greenwald-Khanna
+    style, rank error <= n/accuracy) per event type, value-checked
+    against the exact quantile BAND [q-0.02, q+0.02] — the approx p50
+    must land between the exact p48 and p52. Returns the exact p50/p95
+    plus the band verdict, so the oracle (exact + `true`) red-flags any
+    sketch regression — the same contract-oracle pattern as
+    approx_distinct_users and the ANN recall floors. The rank-error
+    guarantee at accuracy=10000 is ~200x tighter than the band: no
+    knife edge.
+
+    Scale: the sketch is THE quantile operator at 100 TB — constant
+    memory per partition, merge map-side; the exact twin is the harness.
+    """
+    qs = [0.5, 0.95]
+    band = APPROX_QUANTILE_BAND
+    exact_cols = [
+        F.round(F.expr(f"percentile(value, {q})"), 4).alias(
+            f"p{int(q * 100)}"
+        )
+        for q in qs
+    ]
+    lo_hi = [
+        c
+        for q in qs
+        for c in (
+            F.expr(f"percentile(value, {q - band})").alias(f"lo{int(q*100)}"),
+            F.expr(f"percentile(value, {q + band})").alias(f"hi{int(q*100)}"),
+        )
+    ]
+    approx = F.expr(
+        f"percentile_approx(value, array({', '.join(str(q) for q in qs)}), "
+        f"{APPROX_QUANTILE_ACCURACY})"
+    ).alias("ap")
+    agged = (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(*exact_cols, *lo_hi, approx)
+    )
+    ok = None
+    for i, q in enumerate(qs):
+        c = (F.col("ap")[i] >= F.col(f"lo{int(q*100)}")) & (
+            F.col("ap")[i] <= F.col(f"hi{int(q*100)}")
+        )
+        ok = c if ok is None else (ok & c)
+    return agged.select(
+        "event_type", "p50", "p95", ok.alias("approx_ok")
+    )
+
+
+SQL_APPROX_EVENT_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       true AS approx_ok
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
     "round_trip_sha": (q_round_trip_sha, SQL_ROUND_TRIP_SHA),
@@ -2581,4 +2699,9 @@ QUERIES = {
     "lsh_eval_metrics": (q_lsh_eval_metrics, SQL_LSH_EVAL_METRICS),
     "edit_sim_pairs": (q_edit_sim_pairs, SQL_EDIT_SIM_PAIRS),
     "dir_merkle": (q_dir_merkle, SQL_DIR_MERKLE),
+    "cluster_stats": (q_cluster_stats, SQL_CLUSTER_STATS),
+    # contract oracle (exact quantiles + band verdict)
+    "approx_event_quantiles": (
+        q_approx_event_quantiles, SQL_APPROX_EVENT_QUANTILES,
+    ),
 }

@@ -81,6 +81,22 @@ def test_edit_sim_length_prefilter_is_exact_preserving(spark):
     assert got == want and got  # identical AND non-trivial
 
 
+def test_cluster_stats_reconciles_with_edges_and_components(spark):
+    """Every candidate edge is intra-cluster by construction (components
+    are BUILT from these edges), so the per-cluster edge counts must sum
+    to the total edge count, every density lies in (0, 1], and every
+    non-singleton component appears exactly once."""
+    sf = "/root/testdata/sf0.01"
+    rows = Q.q_cluster_stats(spark, sf).collect()
+    assert rows
+    n_edges_total = Q.q_lsh_band_pairs(spark, sf).count()
+    assert sum(r["n_edges"] for r in rows) == n_edges_total
+    assert all(0 < r["density"] <= 1.0 for r in rows)
+    assert all(r["n_edges"] >= r["n_docs"] - 1 for r in rows)  # connected
+    comps = len(set(r["component"] for r in rows))
+    assert comps == len(rows)
+
+
 def _write_docs(spark, tmp_path, rows):
     path = os.path.join(str(tmp_path), "planted")
     os.makedirs(path, exist_ok=True)
