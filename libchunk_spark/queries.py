@@ -2473,6 +2473,23 @@ WHERE round(1 - levenshtein(ta, tb) / CAST(greatest(la, lb) AS DOUBLE), 4)
 DIR_FANOUT = 16  # synthetic directory derivation (FIXTURES.md §6: path=doc_id)
 
 
+def merkle_root_agg():
+    """Aggregate expression for a directory's Merkle root: sha256 over the
+    doc_id-ordered per-file content hashes (columns doc_id, h). Shared by
+    the batch query and the streaming maintenance twin
+    (streaming/aggmaint.py) so their roots agree by construction."""
+    return F.sha2(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "h"))),
+                lambda s: s["h"],
+            ),
+            "",
+        ),
+        256,
+    )
+
+
 def q_dir_merkle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merkle subtree identity: content-addressable DIRECTORY hashes —
     per (repo=source, dir) the sha256 over the doc_id-ordered per-file
@@ -2508,16 +2525,7 @@ def q_dir_merkle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
             .cast("long")
             .alias("n_shared"),
-            F.sha2(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("doc_id", "h"))),
-                        lambda s: s["h"],
-                    ),
-                    "",
-                ),
-                256,
-            ).alias("merkle"),
+            merkle_root_agg().alias("merkle"),
         )
         .select("source", "dirname", "n_files", "n_shared", "merkle")
     )

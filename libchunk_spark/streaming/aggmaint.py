@@ -146,6 +146,147 @@ def vacuum_deltas(state_dir: str) -> list[int]:
     return removed
 
 
+# --------------------------------------------------------------------------
+# Directory-Merkle maintenance: the streaming twin of queries.q_dir_merkle.
+#
+# A Merkle root is an ORDERED hash — not additively mergeable like the gram
+# counts above — so the maintained state is the FILE level:
+#   files/batch=<id>/dbucket=<k>/   (source, dirname, doc_id, h) rows
+# batch-keyed outer partition for replay idempotence (overwrite), dbucket
+# inner partition (hash of the directory key, N_DIR_BUCKETS) so a trigger's
+# recompute READS ONLY the buckets its touched directories hash into —
+# file-level pruning, the same layout discipline as the streaming band
+# index (ingest.py::_write_band_partition).
+#
+# Per trigger: O(batch) write + O(files in touched dirs) recompute — never
+# O(corpus). Touched roots overwrite roots/batch=<id>; the reader takes the
+# NEWEST root per directory (untouched dirs keep their older, still-valid
+# roots). On an at-least-once replay the same partitions are overwritten
+# from the same inputs (files/ holds only batches <= id at that point).
+#
+# Same arrival assumption as the gram counts: each document arrives in
+# exactly one micro-batch. files/ is append-only per-batch state; at very
+# long stream lifetimes it compacts by the base/delta discipline above
+# (fold batches <= id into one partition per dbucket) — not needed at test
+# scale, the reader never touches files/.
+# --------------------------------------------------------------------------
+
+DOCS_STREAM_SCHEMA = "doc_id long, text string, source string"
+N_DIR_BUCKETS = 64
+
+
+def _dir_files(batch: DataFrame, fanout: int) -> DataFrame:
+    dirname = (F.col("doc_id") % fanout).alias("dirname")
+    return batch.select(
+        "source",
+        dirname,
+        "doc_id",
+        F.sha2("text", 256).alias("h"),
+        F.pmod(
+            F.xxhash64("source", F.col("doc_id") % fanout), F.lit(N_DIR_BUCKETS)
+        ).alias("dbucket"),
+    )
+
+
+def _touched_roots(
+    ss: SparkSession,
+    files_root: str,
+    touched_keys: list[tuple[str, int]],
+    buckets: list[int],
+    upto_batch: int,
+) -> DataFrame:
+    """Recompute the Merkle roots of exactly the touched directories from
+    the files store: dbucket partition pruning narrows the scan to the
+    touched buckets, a broadcast semi-join narrows rows to the touched
+    keys, and the batch<=id filter keeps a replayed trigger deterministic."""
+    from libchunk_spark.queries import merkle_root_agg
+
+    tk = ss.createDataFrame(
+        sorted(set(touched_keys)), "source string, dirname long"
+    )
+    hist = (
+        ss.read.parquet(files_root)
+        .where(F.col("dbucket").isin([int(b) for b in buckets]))
+        .where(F.col("batch") <= upto_batch)
+    )
+    return (
+        hist.join(F.broadcast(tk), ["source", "dirname"], "left_semi")
+        .groupBy("source", "dirname")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            merkle_root_agg().alias("merkle"),
+        )
+    )
+
+
+def read_dir_merkle(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current per-directory Merkle roots: the newest root each directory
+    ever got (untouched directories carry forward)."""
+    from pyspark.sql import Window
+
+    root = os.path.join(state_dir, "roots")
+    if not os.path.isdir(root):
+        return spark.createDataFrame(
+            [], "source string, dirname long, n_files long, merkle string"
+        )
+    w = Window.partitionBy("source", "dirname").orderBy(F.desc("batch"))
+    return (
+        spark.read.parquet(root)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", "dirname", "n_files", "merkle")
+    )
+
+
+def start_dir_merkle_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    fanout: int | None = None,
+):
+    """Stream documents-shaped parquet from source_dir, maintaining
+    per-directory Merkle roots (block comment above). Returns the
+    StreamingQuery (availableNow trigger)."""
+    if fanout is None:
+        from libchunk_spark.queries import DIR_FANOUT
+
+        fanout = DIR_FANOUT
+    files_root = os.path.join(state_dir, "files")
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        ss = batch.sparkSession
+        files = _dir_files(batch, fanout).localCheckpoint()
+        files.write.mode("overwrite").partitionBy("dbucket").parquet(
+            os.path.join(files_root, f"batch={batch_id}")
+        )
+        touched = files.select("source", "dirname", "dbucket").distinct().collect()
+        roots = _touched_roots(
+            ss,
+            files_root,
+            [(r["source"], r["dirname"]) for r in touched],
+            sorted({r["dbucket"] for r in touched}),
+            batch_id,
+        )
+        roots.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"roots/batch={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_topgrams_maintenance(
     spark: SparkSession,
     source_dir: str,
