@@ -102,6 +102,7 @@ def main() -> None:
         "dir_merkle",
         "cluster_stats",
         "approx_event_quantiles",
+        "cross_source_dups",
     ]
 
     # --- synthetic source-code corpus for the pipeline phases (built once,

@@ -2664,6 +2664,56 @@ FROM events GROUP BY 1
 """
 
 
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate-leakage matrix: for each unordered source
+    pair, how many verified near-duplicate document pairs (exact
+    df-capped 3-gram Jaccard >= threshold) straddle it — the
+    split-leakage audit (train/test, or corpus/eval) run at container
+    granularity before any split is trusted. Companion to decontam_flags
+    (document-level, known eval set); on the driver corpus 24 of the 25
+    verified dup pairs straddle sources, which is exactly the situation
+    this matrix exists to expose.
+
+    Scale shape: the pair generator is the already-bounded exact-Jaccard
+    query (df-capped gram self-join); the source lookups are equi-joins
+    on doc_id; the output is |sources|^2-bounded — tiny at any corpus
+    size. At 10^12 files swap the generator for the LSH candidate pairs
+    (same columns) to audit at sketch precision instead of exact cost.
+    """
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    return (
+        pairs.join(
+            src.select(F.col("doc_id").alias("a"), F.col("source").alias("sa")),
+            "a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("b"), F.col("source").alias("sb")),
+            "b",
+        )
+        .where(F.col("sa") != F.col("sb"))
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_dup_pairs"))
+    )
+
+
+SQL_CROSS_SOURCE_DUPS = f"""
+WITH p AS ({SQL_NGRAM_JACCARD_PAIRS})
+SELECT least(da.source, db.source) AS src_a,
+       greatest(da.source, db.source) AS src_b,
+       CAST(count(*) AS BIGINT) AS n_dup_pairs
+FROM p
+JOIN documents da ON da.doc_id = p.a
+JOIN documents db ON db.doc_id = p.b
+WHERE da.source <> db.source
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
     "round_trip_sha": (q_round_trip_sha, SQL_ROUND_TRIP_SHA),
@@ -2735,4 +2785,5 @@ QUERIES = {
     "approx_event_quantiles": (
         q_approx_event_quantiles, SQL_APPROX_EVENT_QUANTILES,
     ),
+    "cross_source_dups": (q_cross_source_dups, SQL_CROSS_SOURCE_DUPS),
 }
