@@ -1,0 +1,215 @@
+"""Persisted IVFADC index: build once, query many.
+
+The in-memory retrieval operators (similarity.topk_ivf, pq.pq_topk_ivf)
+re-train centroids and codebooks per call — right for oracle-checked
+queries, wrong for serving: at 10^12 vectors the expensive parts (k-means
+training, PQ encoding, cell assignment of the full table) must run ONCE
+and every query afterwards pays only the probed slice. This module is
+that artifact, expressed as parquet + partition pruning (Jégou et al.,
+"Product quantization for nearest neighbor search", IEEE TPAMI 2011 —
+the IVFADC system layout, re-expressed Spark-first; reference analog:
+libchunk persists its chunk INDEX rather than re-scanning stores,
+/root/reference/bits/move.go:53-65).
+
+Layout under `index_path`:
+  centroids/           (cell, centroid)          tiny — collected per query
+  codebooks/           (sub, code, vec)          tiny — collected per query
+  codes/cell=<c>/      (vec_id, codes)           big — ADC scan side
+  vectors/cell=<c>/    (vec_id, embedding)       big — exact-rerank side
+  meta.json            build params
+
+Both big tables are PARTITIONED BY CELL, so a query's `nprobe` cell
+choice prunes at the FILE level on both the ADC scan and the rerank read
+(plan-asserted in tests) — the parquet analog of probing inverted lists.
+Build determinism: training samples are hash-mod filtered and seeded
+(similarity.train_centroids, pq.pq_train), so `index_topk` on a persisted
+index reproduces `pq.pq_topk_ivf` on the same inputs exactly — pinned by
+an equality test, not just a recall floor.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from libchunk_spark.operators.pq import (
+    MAX_QUERY_BATCH,
+    _adc_luts,
+    _adc_shortlist,
+    _exact_rerank,
+    _normalize,
+    pq_encode,
+    pq_train,
+)
+from libchunk_spark.operators.similarity import (
+    _collect_matrix,
+    _train,
+    ivf_assign,
+)
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    index_path: str,
+    m: int = 8,
+    n_codes: int = 64,
+    n_cells: int = 16,
+    index_probe: int = 2,
+    iters: int = 10,
+    kmeans_iters: int = 8,
+    seed: int = 7,
+    train: str = "sample",
+) -> dict:
+    """Train + encode + assign once; persist every artifact. Returns the
+    meta dict (also written to meta.json)."""
+    spark = emb.sparkSession
+    books = pq_train(emb, m=m, n_codes=n_codes, iters=iters, seed=seed)
+    centroids = _train(emb, n_cells, kmeans_iters, seed, train)
+    cells = ivf_assign(emb, centroids, nprobe=index_probe).select(
+        "vec_id", "cell"
+    )
+    coded = pq_encode(emb, books).join(cells, "vec_id")
+    coded.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(index_path, "codes")
+    )
+    (
+        emb.select("vec_id", "embedding")
+        .join(cells, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_path, "vectors"))
+    )
+    spark.createDataFrame(
+        [(i, c.tolist()) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_path, "centroids")
+    )
+    spark.createDataFrame(
+        [
+            (j, c, books[j, c].tolist())
+            for j in range(books.shape[0])
+            for c in range(books.shape[1])
+        ],
+        "sub int, code int, vec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_path, "codebooks")
+    )
+    meta = {
+        "m": m,
+        "n_codes": n_codes,
+        "n_cells": int(centroids.shape[0]),
+        "index_probe": index_probe,
+        "dim": int(centroids.shape[1]),
+        "seed": seed,
+        "train": train,
+    }
+    tmp = os.path.join(index_path, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_path, "meta.json"))
+    return meta
+
+
+def load_index_arrays(
+    spark: SparkSession, index_path: str
+) -> tuple[np.ndarray, np.ndarray, dict]:
+    """(centroids, codebooks, meta) — the tiny driver-side artifacts."""
+    with open(os.path.join(index_path, "meta.json")) as f:
+        meta = json.load(f)
+    crows = (
+        spark.read.parquet(os.path.join(index_path, "centroids"))
+        .orderBy("cell")
+        .collect()
+    )
+    centroids = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    brows = (
+        spark.read.parquet(os.path.join(index_path, "codebooks"))
+        .orderBy("sub", "code")
+        .collect()
+    )
+    books = np.array([r["vec"] for r in brows], dtype=np.float64).reshape(
+        meta["m"], meta["n_codes"], meta["dim"] // meta["m"]
+    )
+    return centroids, books, meta
+
+
+def index_topk(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 3,
+    shortlist: int = 32,
+) -> DataFrame:
+    """IVFADC top-k against the persisted index — identical semantics (and
+    bit-identical results, tested) to pq.pq_topk_ivf with the same build
+    params, but the per-query cost is ONLY the probed cells' files: no
+    training, no encoding, no full-table scan."""
+    centroids, books, _meta = load_index_arrays(spark, index_path)
+    coded = spark.read.parquet(os.path.join(index_path, "codes"))
+
+    q_ids, q_mat = _collect_matrix(
+        queries.select("vec_id", "embedding"), max_rows=MAX_QUERY_BATCH
+    )
+    qn = _normalize(q_mat)
+    luts = _adc_luts(qn, books)
+    cn = np.sqrt((centroids * centroids).sum(axis=1)) + 1e-12
+    psims = (qn @ centroids.T) / cn[None, :]
+    npb = min(nprobe, centroids.shape[0])
+    probed = np.argpartition(-psims, npb - 1, axis=1)[:, :npb]
+    cell_to_q: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for c in probed[qi]:
+            cell_to_q.setdefault(int(c), []).append(qi)
+    cell_to_q = {c: np.asarray(v) for c, v in cell_to_q.items()}
+    probed_cells = sorted(cell_to_q)
+    bc = spark.sparkContext.broadcast((q_ids, luts, cell_to_q))
+    top_r = shortlist
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(columns=["q", "cand", "approx"]).astype(
+            {"q": "int64", "cand": "int64", "approx": "float64"}
+        )
+        if not len(pdf):
+            return empty
+        ids, l, c2q = bc.value
+        qidx = c2q.get(int(pdf["cell"].iloc[0]))
+        if qidx is None:
+            return empty
+        c_all = np.stack(pdf["codes"].map(np.asarray))
+        id_all = pdf["vec_id"].to_numpy()
+        parts = list(_adc_shortlist(l[qidx], ids[qidx], c_all, id_all, top_r))
+        return pd.concat(parts) if parts else empty
+
+    from pyspark.sql import Window
+
+    per_cell = (
+        # the isin on the PARTITION column prunes files, not just rows
+        coded.where(F.col("cell").isin(probed_cells))
+        .repartition(max(len(probed_cells), 1), "cell")
+        .groupBy("cell")
+        .applyInPandas(score_cell, "q long, cand long, approx double")
+    )
+    w_s = Window.partitionBy("q").orderBy(F.desc("approx"), F.asc("cand"))
+    short = (
+        per_cell.dropDuplicates(["q", "cand"])
+        .withColumn("r", F.row_number().over(w_s))
+        .where(F.col("r") <= top_r)
+        .select("q", "cand")
+    )
+    # the rerank's true-vector read is pruned to the same probed cells —
+    # every shortlist candidate came from one of them (dedup: index_probe>1
+    # multi-assigns vectors across cells)
+    vectors = (
+        spark.read.parquet(os.path.join(index_path, "vectors"))
+        .where(F.col("cell").isin(probed_cells))
+        .dropDuplicates(["vec_id"])
+        .select("vec_id", "embedding")
+    )
+    return _exact_rerank(vectors, short, q_ids, qn, k)
