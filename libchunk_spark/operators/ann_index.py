@@ -116,6 +116,39 @@ def build_ivfpq_index(
     return meta
 
 
+def extend_ivfpq_index(emb_new: DataFrame, index_path: str) -> dict:
+    """Fold NEW vectors into a persisted index WITHOUT retraining: encode
+    with the frozen codebooks, assign with the frozen centroids, append to
+    the cell partitions. The growing-corpus maintenance path — O(new)
+    work, no touch of existing files; queries immediately see the union.
+    Quantization quality for the new vectors is whatever the frozen
+    codebooks give (standard IVFADC practice: retrain on drift, not per
+    append); the result is BIT-IDENTICAL to an index whose build had used
+    these same arrays over the union — pinned by a pytest equality.
+
+    Idempotence note: append-mode parquet is NOT replay-safe by itself —
+    callers replaying a batch should route through a batch-keyed layout
+    (streaming/aggmaint.py discipline) or rebuild. This is the manual
+    maintenance verb, not a foreachBatch sink."""
+    spark = emb_new.sparkSession
+    centroids, books, meta = load_index_arrays(spark, index_path)
+    cells = ivf_assign(emb_new, centroids, nprobe=meta["index_probe"]).select(
+        "vec_id", "cell"
+    )
+    coded = pq_encode(emb_new, books).join(cells, "vec_id")
+    coded.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(index_path, "codes")
+    )
+    (
+        emb_new.select("vec_id", "embedding")
+        .join(cells, "vec_id")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_path, "vectors"))
+    )
+    return meta
+
+
 def load_index_arrays(
     spark: SparkSession, index_path: str
 ) -> tuple[np.ndarray, np.ndarray, dict]:

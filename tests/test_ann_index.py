@@ -59,6 +59,64 @@ def test_index_arrays_round_trip(spark, tmp_path):
     assert books.shape == (meta["m"], meta["n_codes"], meta["dim"] // meta["m"])
 
 
+def test_extend_appends_under_frozen_arrays(spark, tmp_path):
+    """Growing corpus: build on the first half, extend with the second —
+    queries against the extended index must equal queries against an index
+    BUILT from the first half whose partitions were fed the SAME frozen
+    encodings of the union (i.e. extension changes coverage, never the
+    quantizer). New vectors must actually be retrievable."""
+    from libchunk_spark.operators.ann_index import extend_ivfpq_index
+
+    emb = _emb(spark)
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+
+    # extended index
+    p1 = str(tmp_path / "ext")
+    build_ivfpq_index(old, p1)
+    extend_ivfpq_index(new, p1)
+
+    # independent reference: build on old, then OVERWRITE coverage with a
+    # one-pass union encoding under the same loaded (frozen) arrays
+    import os
+
+    from libchunk_spark.operators.ann_index import load_index_arrays
+    from libchunk_spark.operators.pq import pq_encode
+    from libchunk_spark.operators.similarity import ivf_assign
+
+    p2 = str(tmp_path / "ref")
+    build_ivfpq_index(old, p2)
+    centroids, books, meta = load_index_arrays(spark, p2)
+    cells = ivf_assign(emb, centroids, nprobe=meta["index_probe"]).select(
+        "vec_id", "cell"
+    )
+    pq_encode(emb, books).join(cells, "vec_id").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(os.path.join(p2, "codes"))
+    emb.select("vec_id", "embedding").join(cells, "vec_id").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(os.path.join(p2, "vectors"))
+
+    q = _queries(spark)
+    got = sorted(tuple(r) for r in index_topk(spark, p1, q, k=5).collect())
+    ref = sorted(tuple(r) for r in index_topk(spark, p2, q, k=5).collect())
+    assert got == ref and got
+    # coverage: every union vector landed in the extended index (codes AND
+    # rerank vectors), in the same cells the frozen assignment dictates
+    n_union = emb.count()
+    codes = spark.read.parquet(str(tmp_path / "ext" / "codes"))
+    vecs = spark.read.parquet(str(tmp_path / "ext" / "vectors"))
+    assert codes.select("vec_id").distinct().count() == n_union
+    assert vecs.select("vec_id").distinct().count() == n_union
+    ref_codes = spark.read.parquet(str(tmp_path / "ref" / "codes"))
+    assert (
+        codes.select("vec_id", "cell").exceptAll(
+            ref_codes.select("vec_id", "cell")
+        ).count()
+        == 0
+    )
+
+
 def test_query_prunes_unprobed_cell_partitions(spark, tmp_path):
     """Both big scans (ADC codes + rerank vectors) must carry cell
     PartitionFilters — the probed-cell isin prunes FILES, so per-query
