@@ -103,6 +103,10 @@ def main() -> None:
         "cluster_stats",
         "approx_event_quantiles",
         "cross_source_dups",
+        "word_entropy",
+        "shard_plan",
+        "curation_decisions",
+        "doc_len_histogram",
     ]
 
     # --- synthetic source-code corpus for the pipeline phases (built once,

@@ -2714,6 +2714,174 @@ GROUP BY 1, 2
 """
 
 
+def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon word-entropy per document — the information-density quality
+    signal (low-entropy docs are boilerplate/template spam; training
+    pipelines gate on it alongside the Gopher repetition filters).
+
+    H = log2(n) - sum(c*log2(c))/n over per-word counts c, computed from
+    the integer count table so both engines do the identical float math.
+    Scale shape: one (doc_id, word) partial-agg shuffle then a doc_id agg —
+    the same two-level shape as repetition_stats; map-side combine keeps
+    shuffle rows ~= distinct (doc, word), never corpus tokens.
+    """
+    words = _docs(spark, sf_dir).select("doc_id", F.explode(_tokens()).alias("w"))
+    wc = words.groupBy("doc_id", "w").count()
+    return (
+        wc.groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n"),
+            F.sum(F.col("count") * F.log2("count")).alias("clog"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.log2("n") - F.col("clog") / F.col("n"), 4).alias(
+                "word_entropy"
+            ),
+        )
+    )
+
+
+SQL_WORD_ENTROPY = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2)
+SELECT doc_id,
+       round(log2(CAST(sum(c) AS DOUBLE))
+             - sum(c * log2(c)) / CAST(sum(c) AS DOUBLE), 4) AS word_entropy
+FROM wc GROUP BY doc_id
+"""
+
+
+N_SHARDS_HEX = 16  # one shard per leading sha256 hex nibble of the cluster id
+
+
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware output sharding: every doc of a dup cluster lands in
+    the SAME shard (shard = first sha256 hex nibble of its component id),
+    so downstream per-shard jobs can re-verify / re-cluster locally with
+    zero cross-shard dup edges. Emits the balance audit per shard
+    (clusters, docs, bytes) that a writer would use to size output files.
+
+    Scale: sha256 of the cluster id is skew-free by construction (a
+    billion-doc mega-cluster still maps to ONE shard — by design, dup
+    closure must stay co-located; the balance audit is what surfaces it).
+    The shard agg is a 16-group rollup after a doc_id-keyed broadcast-able
+    join of components against doc sizes.
+    """
+    comp = q_components(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    shard = F.substring(F.sha2(F.col("component").cast("string"), 256), 1, 1)
+    return (
+        comp.join(docs, "doc_id")
+        .select(shard.alias("shard"), "component", "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.countDistinct("component").alias("n_clusters"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+SQL_SHARD_PLAN = f"""
+WITH comp AS ({SQL_COMPONENTS})
+SELECT substr(sha256(CAST(c.component AS VARCHAR)), 1, 1) AS shard,
+       CAST(count(DISTINCT c.component) AS BIGINT) AS n_clusters,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+GROUP BY 1
+"""
+
+
+def q_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation decision table: one row per training
+    doc with each gate's verdict and the final keep — quality (Gopher
+    repetition filters), near-dup dedup (LSH components + representative
+    election), eval decontamination (shared 5-gram) — the table an LLM
+    data pipeline materializes last and audits forever after.
+
+    Composition, not recomputation: reuses the three gate queries as
+    subplans; Catalyst fuses the shared `documents` scans. Eval docs
+    (doc_id % 97 == 0) are out of scope — they are the benchmark, not
+    training data. Scale: three doc_id-keyed equi-joins over tables
+    already partitioned by doc_id upstream; the gates themselves carry
+    their own scale stories (see their docstrings).
+    """
+    quality = q_quality_verdicts(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("quality_keep")
+    )
+    dedup = q_dedup_verdicts(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("dedup_keep")
+    )
+    contam = q_decontam_flags(spark, sf_dir)
+    return (
+        contam.join(quality, "doc_id")
+        .join(dedup, "doc_id")
+        .select(
+            "doc_id",
+            "quality_keep",
+            "dedup_keep",
+            "contaminated",
+            (
+                F.col("quality_keep")
+                & F.col("dedup_keep")
+                & ~F.col("contaminated")
+            ).alias("final_keep"),
+        )
+    )
+
+
+SQL_CURATION_DECISIONS = f"""
+WITH q AS ({SQL_QUALITY_VERDICTS}),
+dd AS ({SQL_DEDUP_VERDICTS}),
+ct AS ({SQL_DECONTAM_FLAGS})
+SELECT ct.doc_id,
+       q.keep AS quality_keep,
+       dd.keep AS dedup_keep,
+       ct.contaminated,
+       (q.keep AND dd.keep AND NOT ct.contaminated) AS final_keep
+FROM ct
+JOIN q ON q.doc_id = ct.doc_id
+JOIN dd ON dd.doc_id = ct.doc_id
+"""
+
+
+def q_doc_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length histogram — the corpus-shape
+    monitoring query every ingest run emits (drift in the length
+    distribution is the first symptom of a bad crawl or a broken
+    extractor). Map-side bucket + 1 tiny agg; trivially 100 TB-safe.
+    """
+    bucket = F.floor(F.log2(F.greatest(F.col("n_chars"), F.lit(1)))).cast(
+        "int"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(bucket.alias("len_bucket"), "n_chars")
+        .groupBy("len_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+SQL_DOC_LEN_HISTOGRAM = """
+SELECT CAST(floor(log2(greatest(n_chars, 1))) AS INT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
     "round_trip_sha": (q_round_trip_sha, SQL_ROUND_TRIP_SHA),
@@ -2786,4 +2954,8 @@ QUERIES = {
         q_approx_event_quantiles, SQL_APPROX_EVENT_QUANTILES,
     ),
     "cross_source_dups": (q_cross_source_dups, SQL_CROSS_SOURCE_DUPS),
+    "word_entropy": (q_word_entropy, SQL_WORD_ENTROPY),
+    "shard_plan": (q_shard_plan, SQL_SHARD_PLAN),
+    "curation_decisions": (q_curation_decisions, SQL_CURATION_DECISIONS),
+    "doc_len_histogram": (q_doc_len_histogram, SQL_DOC_LEN_HISTOGRAM),
 }
