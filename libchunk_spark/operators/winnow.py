@@ -47,13 +47,28 @@ POS_BITS = 20
 POS_MOD = 1 << POS_BITS  # position packs into the low 20 bits of enc
 
 
-def _h40(col: Column) -> Column:
-    """Portable 40-bit gram hash: first 10 hex chars of md5 — identical
-    construction in the DuckDB oracle (queries.py::_SQL_WINNOW_FPS)."""
-    return F.conv(F.substring(F.md5(col), 1, 10), 16, 10).cast("long")
+def _h40(col: Column, hasher: str = "md5") -> Column:
+    """40-bit gram hash, two constructions:
+
+    - "md5" (default): first 10 hex chars of md5 — PORTABLE, identical in
+      the DuckDB oracle (queries.py::_SQL_WINNOW_FPS). Every oracle-checked
+      registry query uses this so both engines hash identically.
+    - "xxhash64": top 40 bits of Spark's built-in xxHash64 — the PRODUCTION
+      construction (pipeline edge source). xxHash64 is a single codegen'd
+      long-returning JVM intrinsic vs md5's digest + hex + base-16 conv
+      chain; the winnowing guarantee only needs a uniform 40-bit hash, not
+      any particular one (SIGMOD 2003 §4 treats the hash as a black box).
+    """
+    if hasher == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 10), 16, 10).cast("long")
+    if hasher == "xxhash64":
+        # shiftrightunsigned keeps the result in [0, 2^40): non-negative,
+        # so enc = h40*2^20 + pos packs into 60 bits of a signed long.
+        return F.shiftrightunsigned(F.xxhash64(col), 24)
+    raise ValueError(f"unknown winnow hasher: {hasher!r}")
 
 
-def winnow_encs(text: Column, k: int = WINNOW_K) -> Column:
+def winnow_encs(text: Column, k: int = WINNOW_K, hasher: str = "md5") -> Column:
     """array<long> of position-packed k-gram hash encodings
     enc = h40*2^20 + (2^20-1 - pos%2^20) — the expensive (md5-per-gram)
     half of selection. MATERIALIZE this as its own column (alias it in a
@@ -66,7 +81,7 @@ def winnow_encs(text: Column, k: int = WINNOW_K) -> Column:
     n = F.greatest(F.length(text) - (k - 1), F.lit(1))
     return F.transform(
         F.sequence(F.lit(1), n),
-        lambda i: _h40(text.substr(i, F.lit(k))) * F.lit(POS_MOD)
+        lambda i: _h40(text.substr(i, F.lit(k)), hasher) * F.lit(POS_MOD)
         + (F.lit(POS_MOD - 1) - F.pmod(i, F.lit(POS_MOD))),
     )
 
@@ -92,13 +107,15 @@ def winnow_from_encs(encs: Column, w: int = WINNOW_W) -> Column:
     )
 
 
-def winnow_selected(text: Column, k: int = WINNOW_K, w: int = WINNOW_W) -> Column:
+def winnow_selected(
+    text: Column, k: int = WINNOW_K, w: int = WINNOW_W, hasher: str = "md5"
+) -> Column:
     """Single-expression variant (tests/short texts ONLY — see
     winnow_encs: in a query, project winnow_encs first or selection goes
     quadratic in md5 calls)."""
     if isinstance(text, str):
         text = F.col(text)
-    return winnow_from_encs(winnow_encs(text, k), w)
+    return winnow_from_encs(winnow_encs(text, k, hasher), w)
 
 
 def winnow_fingerprints(
@@ -107,6 +124,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = WINNOW_K,
     w: int = WINNOW_W,
+    hasher: str = "md5",
 ) -> DataFrame:
     """(id, fp) rows: distinct selected fingerprint HASHES per document.
 
@@ -118,7 +136,7 @@ def winnow_fingerprints(
     the steps back into the quadratic form — plan-asserted in
     tests/test_winnow.py)."""
     staged = df.select(
-        F.col(id_col), winnow_encs(F.col(text_col), k).alias("_encs")
+        F.col(id_col), winnow_encs(F.col(text_col), k, hasher).alias("_encs")
     )
     return (
         staged.select(
@@ -137,6 +155,7 @@ def winnow_pair_scores(
     k: int = WINNOW_K,
     w: int = WINNOW_W,
     df_cap: int = 64,
+    hasher: str = "md5",
 ) -> DataFrame:
     """(a, b, shared, score) for document pairs sharing selected
     fingerprints; score = shared / min(|A|, |B|) (containment form — a
@@ -150,7 +169,9 @@ def winnow_pair_scores(
     consumers threshold on `score`, not mere co-occurrence."""
     from pyspark.sql import Window
 
-    fps_all = winnow_fingerprints(df, id_col=id_col, text_col=text_col, k=k, w=w)
+    fps_all = winnow_fingerprints(
+        df, id_col=id_col, text_col=text_col, k=k, w=w, hasher=hasher
+    )
     fps = (
         fps_all.withColumn("df", F.count("*").over(Window.partitionBy("fp")))
         .where(F.col("df") <= df_cap)
@@ -182,14 +203,23 @@ def winnow_candidate_edges(
     w: int = WINNOW_W,
     df_cap: int = 64,
     score_threshold: float = 0.5,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """(a, b) candidate dup edges from winnowed-fingerprint containment —
     the pipeline's optional third edge source (run_pipeline(with_winnow=
     True)) alongside MinHash-LSH and SimHash. Winnowing's guarantee is
     LOCAL (any >= w+k-1-char shared run is witnessed), so this source
     catches partial-copy/paste relationships whole-document MinHash
-    dilutes below its Jaccard threshold."""
+    dilutes below its Jaccard threshold.
+
+    Production default hasher="xxhash64": the per-gram hash dominates the
+    fingerprint stage's cost and this path has no cross-engine oracle to
+    match, so it uses the codegen'd JVM intrinsic instead of the md5 chain
+    (measured A/B in BENCH/winnow_hash_ab_r6.json). The selection logic and
+    guarantee are hash-agnostic; recall-monotonicity pytest runs this path.
+    """
     scored = winnow_pair_scores(
-        corpus, id_col=id_col, text_col=text_col, k=k, w=w, df_cap=df_cap
+        corpus, id_col=id_col, text_col=text_col, k=k, w=w, df_cap=df_cap,
+        hasher=hasher,
     )
     return scored.where(F.col("score") >= score_threshold).select("a", "b")

@@ -135,6 +135,56 @@ def test_pipeline_winnow_edge_source(spark, tmp_path_factory):
     assert r_with >= r_base
 
 
+def test_winnow_xxhash64_selection_matches_reference_windowing(spark):
+    """Production hasher (xxhash64): the hash primitive is Spark's own
+    intrinsic (not ours to re-verify), so the reference chain pins the
+    SELECTION logic — extract the per-gram encodings from Spark, run the
+    literal §5.2 windowing over them in Python, and require the Spark
+    array-expression selection to match per document."""
+    import pyspark.sql.functions as F
+
+    from libchunk_spark.operators.winnow import winnow_encs
+
+    docs = _random_docs()
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id int, text string"
+    )
+    rows = df.select(
+        "doc_id",
+        winnow_encs(F.col("text"), hasher="xxhash64").alias("encs"),
+        winnow_selected("text", hasher="xxhash64").alias("sel"),
+    ).collect()
+    for r in rows:
+        encs, m = list(r["encs"]), len(r["encs"])
+        want = set()
+        for j in range(min(WINNOW_W, m), m + 1):
+            want.add(min(encs[max(j - WINNOW_W, 0) : j]))
+        assert set(r["sel"]) == want, f"doc {r['doc_id']}"
+        # packing invariant: every enc is a non-negative 60-bit long
+        assert all(0 <= e < 1 << 60 for e in encs)
+
+
+def test_winnow_xxhash64_guarantee_on_planted_pair(spark):
+    """The SIGMOD 2003 guarantee is hash-agnostic: the planted >= t-char
+    common substring shares a selected fingerprint under the production
+    xxhash64 construction too."""
+    docs = _random_docs()
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id int, text string"
+    )
+    rows = winnow_fingerprints(df, hasher="xxhash64").collect()
+    got: dict[int, set[int]] = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    a, b = len(docs) - 2, len(docs) - 1
+    assert got[a] & got[b]
+    # and the two hashers select DIFFERENT fingerprint values (i.e. the
+    # hasher switch is actually live, not silently falling back to md5)
+    md5_fps = {fp for r in winnow_fingerprints(df).collect() for fp in [r["fp"]]}
+    xx_fps = {fp for s in got.values() for fp in s}
+    assert md5_fps != xx_fps
+
+
 @settings(max_examples=200, deadline=None)
 @given(
     prefix_a=st.text(ALPHA, max_size=30),
