@@ -107,6 +107,9 @@ def main() -> None:
         "shard_plan",
         "curation_decisions",
         "doc_len_histogram",
+        "dup_substrings",
+        "bm25_top_docs",
+        "passage_windows",
     ]
 
     # --- synthetic source-code corpus for the pipeline phases (built once,

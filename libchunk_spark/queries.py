@@ -2882,6 +2882,313 @@ GROUP BY 1
 """
 
 
+DUP_SUBSTR_L = 30  # minimum duplicated-run length (chars) worth deduping
+
+
+def q_dup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup accounting (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr half;
+    top_ngrams is the frequency-mining half): for every document, the
+    merged maximal spans of text whose every L-char window also occurs
+    elsewhere in the corpus (L = 30 chars here; the paper uses 50 BPE
+    tokens). Emits per-doc (n_dup_spans, dup_chars, dup_frac) — the table
+    a training pipeline thresholds to CUT repeated passages rather than
+    drop whole near-dup docs.
+
+    Shape: stride-1 L-char window hashes per doc (md5 — the DuckDB oracle
+    runs the identical expression), one partial-agg shuffle on the window
+    hash to find repeated windows (count >= 2, within- OR cross-doc, as in
+    the paper), a semi-join back to positions, then classic
+    gaps-and-islands span merging per doc (windows [p, p+L-1] merge while
+    the next start is <= prev start + L).
+
+    Scale: shuffle volume is one (hash, pos) pair per character — bounded
+    and skew-free (window hashes are near-unique), but proportional to
+    corpus bytes. At 10^12 files the production form of this op runs over
+    the content-defined CHUNK table (operators/fused.py's keys ARE
+    deduplicated variable-length substrings — dedup_ratio / containment
+    already account at chunk granularity); this per-char exact variant is
+    the in-cluster verifier / small-corpus auditor, with L and an optional
+    stride as the cost levers. Reference analog: libchunk dedups identical
+    chunk content via K-key identity (/root/reference/bits/chunks.go) —
+    this query is the same identity idea pushed to exact character spans.
+    """
+    L = DUP_SUBSTR_L
+    d = _docs(spark, sf_dir)
+    # array of md5 window hashes, THEN posexplode — keeps the expensive
+    # hash in its own projected column (the lambda-CSE rule: never
+    # recompute an expensive expression per explode row)
+    whs = F.transform(
+        F.sequence(F.lit(1), F.length("text") - (L - 1)),
+        lambda i: F.md5(F.col("text").substr(i, F.lit(L))),
+    )
+    wins = (
+        d.where(F.col("n_chars") >= L)
+        .select("doc_id", F.posexplode(whs).alias("pos0", "wh"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "wh")
+    )
+    dup_wh = (
+        wins.groupBy("wh").agg(F.count("*").alias("c")).where("c >= 2").select("wh")
+    )
+    hits = wins.join(dup_wh, "wh").select("doc_id", "pos")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grp = (
+        hits.withColumn(
+            "brk",
+            F.when(F.col("pos") - F.lag("pos").over(w) > L, 1).otherwise(0),
+        )
+        .withColumn("g", F.sum("brk").over(w))
+    )
+    spans = grp.groupBy("doc_id", "g").agg(
+        F.min("pos").alias("s"), (F.max("pos") + (L - 1)).alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars"),
+    )
+    return (
+        d.select("doc_id", "n_chars")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+            F.round(
+                F.coalesce("dup_chars", F.lit(0)) / F.col("n_chars"), 4
+            ).alias("dup_frac"),
+        )
+    )
+
+
+SQL_DUP_SUBSTRINGS = f"""
+WITH wins AS (
+  SELECT doc_id, pos, md5(substr(text, CAST(pos AS INT), {DUP_SUBSTR_L})) AS wh
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, n_chars - {DUP_SUBSTR_L - 1})) AS pos
+        FROM documents WHERE n_chars >= {DUP_SUBSTR_L})
+),
+dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2),
+hits AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (wh)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+              > {DUP_SUBSTR_L} THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+grps AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, g, min(pos) AS s, max(pos) + {DUP_SUBSTR_L - 1} AS e
+  FROM grps GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS dup_chars
+  FROM spans GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(p.dup_chars, 0) AS dup_chars,
+       round(coalesce(p.dup_chars, 0) / CAST(d.n_chars AS DOUBLE), 4)
+         AS dup_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_N_TERMS = 5  # score the 5 highest-df terms (deterministic probe set)
+BM25_TOP_DOCS = 10
+
+
+def q_bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval scoring — top 10 documents for each of the 5
+    highest-document-frequency terms (the deterministic probe set a
+    corpus-owned relevance surface can always compute; a real serve path
+    substitutes user query terms). Lucene-style idf = ln(1 + (N-df+0.5)/
+    (df+0.5)); dl = whitespace token count; k1=1.2, b=0.75.
+
+    Cross-engine determinism: the per-term RANKING never touches ln() —
+    idf is constant within a term partition, so rank orders by the
+    idf-free core tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) (a ratio of exact
+    integers and literals: bit-identical IEEE math in Spark and DuckDB),
+    with doc_id as tie-break; ln enters only the reported 4-dp rounded
+    score (same trick as tfidf_top_terms).
+
+    Scale: tf table = one (doc, term) partial-agg shuffle filtered to the
+    5 probe terms (a broadcast semi-join in the general case); df/avgdl
+    are tiny broadcast scalars; top-k per term is a 5-partition window —
+    no all-pairs, no full-corpus sort.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(_tokens()).alias("term"), F.size(_tokens()).alias("dl")
+    )
+    # document frequency + the 5-term probe set
+    df_t = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    probe = df_t.orderBy(F.desc("df"), F.asc("term")).limit(BM25_N_TERMS)
+    # corpus scalars (one row, broadcast)
+    scalars = d.select(
+        F.count("*").alias("nd"),
+        F.avg(F.size(_tokens())).alias("avgdl"),
+    )
+    tf = (
+        toks.join(F.broadcast(probe), "term")
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"), F.first("df").alias("df"))
+    )
+    core = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("term").orderBy(F.desc("core"), F.asc("doc_id"))
+    return (
+        tf.crossJoin(F.broadcast(scalars))
+        .withColumn("core", core)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= BM25_TOP_DOCS)
+        .select(
+            "term",
+            F.col("rk").alias("rank"),
+            "doc_id",
+            "tf",
+            F.round(
+                F.log(
+                    1
+                    + (F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * F.col("core"),
+                4,
+            ).alias("bm25"),
+        )
+    )
+
+
+SQL_BM25_TOP_DOCS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         len(string_split(text, ' ')) AS dl
+  FROM documents
+),
+df_t AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+probe AS (SELECT term, df FROM df_t ORDER BY df DESC, term ASC
+          LIMIT {BM25_N_TERMS}),
+scalars AS (
+  SELECT count(*) AS nd, avg(len(string_split(text, ' '))) AS avgdl
+  FROM documents
+),
+tf AS (
+  SELECT t.term, t.doc_id, count(*) AS tf, min(t.dl) AS dl, min(p.df) AS df
+  FROM toks t JOIN probe p USING (term)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT term, doc_id, tf, df, dl,
+         (tf * ({BM25_K1} + 1)) / (tf + {BM25_K1} * (1 - {BM25_B} +
+           {BM25_B} * dl / s.avgdl)) AS core,
+         s.nd AS nd
+  FROM tf, scalars s
+),
+ranked AS (
+  SELECT term, doc_id, tf, df, core, nd,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY core DESC, doc_id ASC) AS rk
+  FROM scored
+)
+SELECT term, CAST(rk AS INT) AS rank, doc_id, tf,
+       round(ln(1 + (nd - df + 0.5) / (df + 0.5)) * core, 4) AS bm25
+FROM ranked WHERE rk <= {BM25_TOP_DOCS}
+"""
+
+
+PASSAGE_TOKENS = 64  # tokens per passage window
+PASSAGE_STRIDE = 48  # window start step (64-48 = 16-token overlap)
+
+
+def q_passage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style passage extraction: fixed-size token windows (64 tokens,
+    stride 48 — trailing overlap so no token is orphaned at a boundary)
+    with a content sha256 per passage. This is the table an embedding /
+    retrieval pipeline materializes from a curated corpus; the passage
+    sha doubles as the idempotency key for incremental re-embedding
+    (unchanged passages keep their key — the same content-addressable
+    identity idea as libchunk's K-keys, /root/reference/bits/chunks.go,
+    at passage granularity).
+
+    Shape: pure map-side — tokenize, slice windows from the token array,
+    explode; no shuffle at all (the engine's cheapest possible op class:
+    trivially 100 TB-safe, parallel in the scan).
+
+    The last window is the one starting at the final stride step that
+    still has unseen tokens: starts = 0, 48, 96, ... < n_tokens, each
+    window = min(64, remaining) tokens — short docs yield exactly one
+    window of all their tokens.
+    """
+    t = _tokens()
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.ceil((F.size(t) - PASSAGE_TOKENS) / PASSAGE_STRIDE), F.lit(0)
+        ).cast("int")
+        * PASSAGE_STRIDE,
+        F.lit(PASSAGE_STRIDE),
+    )
+    wins = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(t, s + 1, PASSAGE_TOKENS))
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.size(t).alias("n_tokens"), F.posexplode(wins).alias("pidx", "passage"))
+        .select(
+            "doc_id",
+            F.col("pidx").cast("int").alias("passage_idx"),
+            (F.col("pidx") * PASSAGE_STRIDE).cast("int").alias("start_token"),
+            F.least(
+                F.lit(PASSAGE_TOKENS),
+                F.col("n_tokens") - F.col("pidx") * PASSAGE_STRIDE,
+            ).cast("int").alias("passage_tokens"),
+            F.sha2(F.col("passage"), 256).alias("passage_sha"),
+        )
+    )
+
+
+SQL_PASSAGE_WINDOWS = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, n_tokens,
+         unnest(generate_series(
+           0,
+           greatest(CAST(ceil((n_tokens - {PASSAGE_TOKENS})
+                              / {PASSAGE_STRIDE}.0) AS BIGINT), 0)
+             * {PASSAGE_STRIDE},
+           {PASSAGE_STRIDE})) AS start_token,
+         toks
+  FROM base
+)
+SELECT doc_id,
+       CAST(start_token / {PASSAGE_STRIDE} AS INT) AS passage_idx,
+       CAST(start_token AS INT) AS start_token,
+       CAST(least({PASSAGE_TOKENS}, n_tokens - start_token) AS INT)
+         AS passage_tokens,
+       sha256(array_to_string(
+         toks[CAST(start_token + 1 AS INT):
+              CAST(start_token + {PASSAGE_TOKENS} AS INT)], ' '))
+         AS passage_sha
+FROM wins
+"""
+
+
 QUERIES = {
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
     "round_trip_sha": (q_round_trip_sha, SQL_ROUND_TRIP_SHA),
@@ -2958,4 +3265,7 @@ QUERIES = {
     "shard_plan": (q_shard_plan, SQL_SHARD_PLAN),
     "curation_decisions": (q_curation_decisions, SQL_CURATION_DECISIONS),
     "doc_len_histogram": (q_doc_len_histogram, SQL_DOC_LEN_HISTOGRAM),
+    "dup_substrings": (q_dup_substrings, SQL_DUP_SUBSTRINGS),
+    "bm25_top_docs": (q_bm25_top_docs, SQL_BM25_TOP_DOCS),
+    "passage_windows": (q_passage_windows, SQL_PASSAGE_WINDOWS),
 }

@@ -1,0 +1,145 @@
+"""Targeted tests for the round-6 batch-5 queries (oracle parity itself is
+covered for every registry entry by test_entry.py).
+
+* dup_substrings — planted shared passage is found and span-merged; an
+  exact-dup doc is 100% duplicated; fractions are bounded.
+* bm25_top_docs — probe-set shape, rank contiguity, and score monotonicity
+  within each term (idf is a per-term constant, so the reported bm25 must
+  be non-increasing in rank).
+* passage_windows — exact window layout on synthetic token counts (1, 64,
+  65, 112, 200), full contiguous coverage on the corpus, and a
+  shuffle-free plan (the op must stay map-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from libchunk_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_docs(spark, tmp_path, texts):
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_dup_substrings_planted_passage_merged(spark, tmp_path):
+    # one 60-char passage shared verbatim by docs 0 and 1; doc 2 is unique.
+    # Unique filler is long enough that no OTHER >=L window repeats.
+    shared = (
+        "the quick brown fox jumps over the lazy dog again and again and more"
+    )
+    assert len(shared) >= 2 * Q.DUP_SUBSTR_L  # long enough to span-merge
+    import random
+
+    rng = random.Random(7)
+    filler = lambda n: "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(n))
+    texts = [
+        filler(80) + shared + filler(80),
+        filler(80) + shared + filler(80),
+        filler(220),
+    ]
+    d = _write_docs(spark, tmp_path, texts)
+    rows = {r["doc_id"]: r for r in Q.q_dup_substrings(spark, d).collect()}
+    L = Q.DUP_SUBSTR_L
+    for doc in (0, 1):
+        r = rows[doc]
+        # every L-window inside the shared passage repeats -> ONE merged
+        # span covering exactly the passage (starts at 81, 1-indexed)
+        assert r["n_dup_spans"] == 1
+        assert r["dup_chars"] == len(shared)
+        assert abs(r["dup_frac"] - len(shared) / len(texts[doc])) < 1e-3
+    assert rows[2]["n_dup_spans"] == 0
+    assert rows[2]["dup_frac"] == 0.0
+
+
+def test_dup_substrings_exact_dup_doc_fully_covered(spark, tmp_path):
+    # two identical docs: every window repeats, one span = whole doc
+    t = "x" * 10 + "identical content here repeated across two documents" + "y" * 10
+    d = _write_docs(spark, tmp_path, [t, t])
+    rows = Q.q_dup_substrings(spark, d).collect()
+    for r in rows:
+        assert r["n_dup_spans"] == 1
+        assert r["dup_chars"] == len(t)
+        assert r["dup_frac"] == 1.0
+
+
+def test_dup_substrings_corpus_bounds(spark):
+    rows = Q.q_dup_substrings(spark, SF).collect()
+    assert len(rows) == 500
+    assert any(r["n_dup_spans"] > 0 for r in rows)  # planted near-dups exist
+    for r in rows:
+        assert 0.0 <= r["dup_frac"] <= 1.0
+        assert r["dup_chars"] >= r["n_dup_spans"] * Q.DUP_SUBSTR_L or (
+            r["n_dup_spans"] == 0 and r["dup_chars"] == 0
+        )
+
+
+def test_bm25_shape_and_monotonic(spark):
+    rows = Q.q_bm25_top_docs(spark, SF).collect()
+    by_term: dict[str, list] = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r)
+    assert len(by_term) == Q.BM25_N_TERMS
+    for term, rs in by_term.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= Q.BM25_TOP_DOCS
+        scores = [r["bm25"] for r in rs]
+        # idf constant per term -> reported score non-increasing in rank
+        # (4-dp rounding can only tie, never invert)
+        assert all(a >= b for a, b in zip(scores, scores[1:]))
+        assert all(s > 0 for s in scores)
+
+
+def test_passage_windows_synthetic_layouts(spark, tmp_path):
+    mk = lambda n: " ".join(f"t{i}" for i in range(n))
+    texts = [mk(1), mk(64), mk(65), mk(112), mk(200)]
+    d = _write_docs(spark, tmp_path, texts)
+    out = Q.q_passage_windows(spark, d).collect()
+    per_doc: dict[int, list] = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    W, S = Q.PASSAGE_TOKENS, Q.PASSAGE_STRIDE
+    expect_n = {0: 1, 1: 1, 2: 2, 3: 2, 4: 4}  # ceil((n-64)/48)+1, min 1
+    for doc, n_tokens in enumerate([1, 64, 65, 112, 200]):
+        rs = sorted(per_doc[doc], key=lambda r: r["passage_idx"])
+        assert len(rs) == expect_n[doc], (doc, [r.asDict() for r in rs])
+        assert rs[0]["start_token"] == 0
+        for i, r in enumerate(rs):
+            assert r["passage_idx"] == i
+            assert r["start_token"] == i * S
+            assert r["passage_tokens"] == min(W, n_tokens - i * S)
+            assert r["passage_tokens"] >= 1
+        # contiguous coverage to the last token
+        assert rs[-1]["start_token"] + rs[-1]["passage_tokens"] == n_tokens
+
+
+def test_passage_windows_corpus_coverage_and_maponly_plan(spark):
+    df = Q.q_passage_windows(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "passage extraction must stay map-only"
+    toks = Q.q_token_stats(spark, SF).select("doc_id", "n_tokens")
+    agg = (
+        df.groupBy("doc_id")
+        .agg(
+            F.min("start_token").alias("first"),
+            F.max(F.col("start_token") + F.col("passage_tokens")).alias("cover"),
+            F.count("*").alias("n_passages"),
+        )
+        .join(toks, "doc_id")
+        .collect()
+    )
+    assert len(agg) == 500
+    for r in agg:
+        assert r["first"] == 0
+        assert r["cover"] == r["n_tokens"]
+    # passage identity is content-addressable: identical docs share shas
+    shas = df.groupBy("passage_sha").count()
+    assert shas.where("count >= 2").count() > 0  # planted dups share passages
