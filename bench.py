@@ -110,6 +110,7 @@ def main() -> None:
         "dup_substrings",
         "bm25_top_docs",
         "passage_windows",
+        "chunk_dup_spans",
     ]
 
     # --- synthetic source-code corpus for the pipeline phases (built once,

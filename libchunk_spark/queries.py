@@ -3189,6 +3189,103 @@ FROM wins
 """
 
 
+def chunk_dup_detail(corpus: DataFrame, cfg) -> DataFrame:
+    """(file_id, total_bytes, n_chunks, n_dup_spans, dup_bytes) — per-file
+    duplicated-byte accounting over the content-defined chunk table: a
+    chunk key occurring >= 2 times anywhere is duplicated; consecutive dup
+    chunks (by pos) merge into spans. The reusable core of
+    q_chunk_dup_spans; targeted pytests assert the quantitative CDC
+    re-sync guarantees on planted partial copies."""
+    from pyspark.sql import Window
+
+    res = split(corpus, cfg, keep_payload=False)
+    ch = res.chunks.select("file_id", "pos", "length", "k")
+    dup_keys = (
+        ch.groupBy("k").agg(F.count("*").alias("c")).where("c >= 2").select("k")
+    )
+    hits = ch.join(dup_keys, "k").select("file_id", "pos", "length")
+    w = Window.partitionBy("file_id").orderBy("pos")
+    spans = (
+        hits.withColumn(
+            "brk",
+            F.when(F.col("pos") - F.lag("pos").over(w) > 1, 1).otherwise(0),
+        )
+        .withColumn("g", F.sum("brk").over(w))
+        .groupBy("file_id", "g")
+        .agg(F.sum("length").alias("span_bytes"))
+        .groupBy("file_id")
+        .agg(
+            F.count("*").alias("n_dup_spans"),
+            F.sum("span_bytes").cast("long").alias("dup_bytes"),
+        )
+    )
+    totals = ch.groupBy("file_id").agg(
+        F.sum("length").cast("long").alias("total_bytes"),
+        F.count("*").alias("n_chunks"),
+    )
+    return totals.join(spans, "file_id", "left").select(
+        "file_id",
+        "total_bytes",
+        "n_chunks",
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        F.coalesce("dup_bytes", F.lit(0)).alias("dup_bytes"),
+    )
+
+
+def q_chunk_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity ExactSubstr accounting — the PRODUCTION form of
+    dup_substrings at 10^12-file scale: duplicated-byte accounting over
+    the content-defined CHUNK table instead of per-character windows.
+    Shuffle volume drops from one row per character to one row per chunk
+    (KBs of payload per row), and the chunk keys are the sha256 K-keys
+    libchunk already materializes (/root/reference/bits/chunks.go) — the
+    dedup index IS the dup-span index. A key appearing >= 2 times marks
+    duplicated bytes; consecutive dup chunks in a doc merge into spans
+    (CDC boundary re-sync makes shared runs contiguous at chunk level,
+    which is the property that lets content-defined chunking find shared
+    content across shifted copies at all).
+
+    Invariant oracle (chunk boundaries aren't SQL-expressible — same
+    pattern as chunk_stats): output columns the oracle CAN compute
+    (total_bytes == strlen(text); is_exact_dup == text occurs >= 2x) plus
+    dup_ok, which Spark asserts from the chunk side: 0 <= dup_bytes <=
+    total_bytes, span bounds (n_dup_spans * min-1-chunk <= dup chunks),
+    and the identity contract — an exact-dup doc chunked deterministically
+    is 100% chunk-duplicated. dup_frac/span detail are pinned by the
+    targeted pytests (planted partial copies) rather than the SQL oracle.
+    """
+    corpus = _docs_corpus(spark, sf_dir)
+    detail = chunk_dup_detail(corpus, DOCS_CONFIG.chunk)
+    from pyspark.sql import Window
+
+    exact = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("file_id"),
+        (
+            F.count("*").over(Window.partitionBy(F.sha2("text", 256))) >= 2
+        ).alias("is_exact_dup"),
+    )
+    per = detail.join(exact, "file_id")
+    return per.select(
+        F.col("file_id").alias("doc_id"),
+        "total_bytes",
+        "is_exact_dup",
+        (
+            (F.col("dup_bytes") >= 0)
+            & (F.col("dup_bytes") <= F.col("total_bytes"))
+            & (F.col("n_dup_spans") <= F.col("dup_bytes"))  # spans are >=1 byte
+            & (~F.col("is_exact_dup") | (F.col("dup_bytes") == F.col("total_bytes")))
+        ).alias("dup_ok"),
+    )
+
+
+SQL_CHUNK_DUP_SPANS = """
+SELECT doc_id, strlen(text) AS total_bytes,
+       count(*) OVER (PARTITION BY md5(text)) >= 2 AS is_exact_dup,
+       true AS dup_ok
+FROM documents
+"""
+
+
 QUERIES = {
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
     "round_trip_sha": (q_round_trip_sha, SQL_ROUND_TRIP_SHA),
@@ -3268,4 +3365,5 @@ QUERIES = {
     "dup_substrings": (q_dup_substrings, SQL_DUP_SUBSTRINGS),
     "bm25_top_docs": (q_bm25_top_docs, SQL_BM25_TOP_DOCS),
     "passage_windows": (q_passage_windows, SQL_PASSAGE_WINDOWS),
+    "chunk_dup_spans": (q_chunk_dup_spans, SQL_CHUNK_DUP_SPANS),
 }

@@ -143,3 +143,70 @@ def test_passage_windows_corpus_coverage_and_maponly_plan(spark):
     # passage identity is content-addressable: identical docs share shas
     shas = df.groupBy("passage_sha").count()
     assert shas.where("count >= 2").count() > 0  # planted dups share passages
+
+
+def _rand_text(rng, n):
+    import string
+
+    return "".join(rng.choice(string.ascii_lowercase + " ") for _ in range(n))
+
+
+def test_chunk_dup_detail_exact_dup_fully_covered(spark):
+    import random
+
+    from libchunk_spark.config import DOCS_CONFIG
+
+    rng = random.Random(11)
+    t = _rand_text(rng, 800)  # several chunks at the 64..256 docs config
+    corpus = spark.createDataFrame(
+        [(0, t), (1, t), (2, _rand_text(rng, 500))],
+        "file_id long, content string",
+    )
+    rows = {
+        r["file_id"]: r
+        for r in Q.chunk_dup_detail(corpus, DOCS_CONFIG.chunk).collect()
+    }
+    for doc in (0, 1):
+        assert rows[doc]["dup_bytes"] == rows[doc]["total_bytes"] == 800
+        assert rows[doc]["n_dup_spans"] == 1
+        assert rows[doc]["n_chunks"] >= 3
+    assert rows[2]["dup_bytes"] == 0 and rows[2]["n_dup_spans"] == 0
+
+
+def test_chunk_dup_detail_partial_copy_resyncs(spark):
+    """The CDC re-sync guarantee that makes chunk-granularity dup spans
+    work: a shared block embedded in two DIFFERENT contexts re-syncs to
+    identical interior chunks after at most max_size bytes on each edge,
+    so dup_bytes >= len(shared) - 2*max_size and the dup chunks form ONE
+    contiguous span."""
+    import random
+
+    from libchunk_spark.config import DOCS_CONFIG
+
+    cfg = DOCS_CONFIG.chunk
+    rng = random.Random(13)
+    shared = _rand_text(rng, 1500)
+    corpus = spark.createDataFrame(
+        [
+            (0, _rand_text(rng, 300) + shared + _rand_text(rng, 300)),
+            (1, _rand_text(rng, 250) + shared + _rand_text(rng, 350)),
+        ],
+        "file_id long, content string",
+    )
+    rows = {r["file_id"]: r for r in Q.chunk_dup_detail(corpus, cfg).collect()}
+    floor = len(shared) - 2 * cfg.max_size
+    for doc in (0, 1):
+        assert rows[doc]["dup_bytes"] >= floor, rows[doc]
+        assert rows[doc]["dup_bytes"] < rows[doc]["total_bytes"]
+        assert rows[doc]["n_dup_spans"] == 1
+
+
+def test_chunk_dup_spans_corpus_invariants(spark):
+    rows = Q.q_chunk_dup_spans(spark, SF).collect()
+    assert len(rows) == 500
+    assert all(r["dup_ok"] for r in rows)
+    # the planted near-dup corpus must show chunk-level duplication
+    from libchunk_spark.config import DOCS_CONFIG
+
+    det = Q.chunk_dup_detail(Q._docs_corpus(spark, SF), DOCS_CONFIG.chunk)
+    assert det.where("dup_bytes > 0").count() > 0
