@@ -3286,6 +3286,90 @@ FROM documents
 """
 
 
+BAND_SKEW_CAP = 8  # bucket-size cap the allpairs generator degrades at
+
+
+def q_band_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew audit over the LSH band buckets — the operational
+    query behind the north rule's "explicit repartitioning on band-hash
+    keys to keep shuffle skew bounded": per band, the (band, band_sig)
+    bucket-size distribution (max, exact p99), how many buckets exceed
+    the allpairs cap (those degrade to star edges), and the exact
+    candidate-pair volume sum(c*(c-1)/2) each band would emit — the
+    shuffle-cost predictor a pipeline watches to re-tune band width /
+    caps / salting before a mega-cluster melts an executor.
+
+    Scale: bucket sizes are ONE partial-agg shuffle on (band, band_sig) —
+    the same key the candidate join shuffles on, so at scale the exchange
+    is shared — and the report itself is n_bands rows. The p99 uses exact
+    interpolated percentile (== DuckDB quantile_cont, parity proven by
+    event_quantiles); production would swap percentile_approx at the
+    approx_event_quantiles contract.
+    """
+    wide = _minhash_wide(spark, sf_dir)
+    n_bands = N_PERMS_SQL // BAND_ROWS_SQL
+    sigs = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{b * BAND_ROWS_SQL + r}").cast("string")
+                    for r in range(BAND_ROWS_SQL)
+                ],
+            )
+        )
+        for b in range(n_bands)
+    ]
+    bands = wide.select(
+        "doc_id", F.posexplode(F.array(*sigs)).alias("band", "band_sig")
+    )
+    sizes = bands.groupBy("band", "band_sig").agg(F.count("*").alias("c"))
+    return (
+        sizes.groupBy("band")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("c").cast("long").alias("n_docs"),
+            F.max("c").alias("max_bucket"),
+            F.round(F.expr("percentile(c, 0.99D)"), 4).alias("p99_bucket"),
+            F.sum(
+                F.when(F.col("c") > BAND_SKEW_CAP, 1).otherwise(0)
+            ).cast("long").alias("n_over_cap"),
+            F.sum(F.floor(F.col("c") * (F.col("c") - 1) / 2))
+            .cast("long")
+            .alias("cand_pairs"),
+        )
+        .select(
+            F.col("band").cast("int").alias("band"),
+            "n_buckets",
+            "n_docs",
+            "max_bucket",
+            "p99_bucket",
+            "n_over_cap",
+            "cand_pairs",
+        )
+    )
+
+
+SQL_BAND_SKEW_REPORT = f"""
+WITH mh AS ({_sql_minhash_core()}),
+bands AS (
+  SELECT doc_id, CAST(floor(perm / {BAND_ROWS_SQL}) AS BIGINT) AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm)) AS band_sig
+  FROM mh GROUP BY doc_id, 2
+),
+sizes AS (SELECT band, band_sig, count(*) AS c FROM bands GROUP BY 1, 2)
+SELECT CAST(band AS INT) AS band,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(c) AS BIGINT) AS n_docs,
+       CAST(max(c) AS BIGINT) AS max_bucket,
+       round(quantile_cont(c, 0.99), 4) AS p99_bucket,
+       CAST(sum(CASE WHEN c > {BAND_SKEW_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over_cap,
+       CAST(sum(c * (c - 1) // 2) AS BIGINT) AS cand_pairs
+FROM sizes GROUP BY band
+"""
+
+
 QUERIES = {
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
     "round_trip_sha": (q_round_trip_sha, SQL_ROUND_TRIP_SHA),
@@ -3366,4 +3450,5 @@ QUERIES = {
     "bm25_top_docs": (q_bm25_top_docs, SQL_BM25_TOP_DOCS),
     "passage_windows": (q_passage_windows, SQL_PASSAGE_WINDOWS),
     "chunk_dup_spans": (q_chunk_dup_spans, SQL_CHUNK_DUP_SPANS),
+    "band_skew_report": (q_band_skew_report, SQL_BAND_SKEW_REPORT),
 }

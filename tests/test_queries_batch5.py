@@ -210,3 +210,20 @@ def test_chunk_dup_spans_corpus_invariants(spark):
 
     det = Q.chunk_dup_detail(Q._docs_corpus(spark, SF), DOCS_CONFIG.chunk)
     assert det.where("dup_bytes > 0").count() > 0
+
+
+def test_band_skew_report_reconciles_with_candidates(spark):
+    rows = Q.q_band_skew_report(spark, SF).collect()
+    n_bands = Q.N_PERMS_SQL // Q.BAND_ROWS_SQL
+    assert len(rows) == n_bands
+    for r in rows:
+        assert r["n_docs"] == 500  # every doc lands in every band once
+        assert 1 <= r["max_bucket"] <= r["n_docs"]
+        assert r["n_buckets"] <= r["n_docs"]
+        assert r["p99_bucket"] <= r["max_bucket"]
+        # the cap counter and the pair predictor must agree with max
+        assert r["cand_pairs"] >= r["max_bucket"] * (r["max_bucket"] - 1) // 2
+    # every LSH candidate pair is counted (with band multiplicity) in the
+    # predictor, so the predictor bounds the distinct pair count
+    n_pairs = Q.q_lsh_band_pairs(spark, SF).count()
+    assert sum(r["cand_pairs"] for r in rows) >= n_pairs
