@@ -26,20 +26,30 @@ from libchunk_spark.operators.split import split
 
 # Affine MinHash over h31 = h mod 2^31: mh = (a*h31 + b) mod P61.
 # Constants deterministic (seeded) and baked into both Spark and SQL sides.
-MH_PRIME = 2305843009213693951  # 2^61 - 1
+# Perm-field modulus: 2^31-1 (Mersenne prime). Gram hashes reduce into
+# [0, p) FIRST, so a*h+b (< 2^62, int64-safe in both engines) wraps mod p
+# ~a times per evaluation — a genuinely min-wise universal family. The
+# previous modulus (2^61-1) over 31-bit inputs almost never wrapped, so
+# every "permutation" preserved raw-hash order and the 16 perms were one
+# permutation in disguise: any two docs sharing their minimum-hash gram
+# read est = 1.0 regardless of true Jaccard. Caught by the
+# minhash_calibration audit query (mean |est - jac| was 0.645; honest
+# perms read ~0.02).
+MH_PRIME = 2147483647  # 2^31 - 1
 N_PERMS_SQL = 16
 BAND_ROWS_SQL = 4  # -> 4 bands
 
 
 def _perm_constants() -> list[tuple[int, int, int]]:
-    """(perm, a, b) — tiny deterministic LCG so both engines share literals."""
+    """(perm, a, b) — tiny deterministic LCG so both engines share
+    literals; a in [1, p-1] (never 0 mod p), b in [0, p)."""
     out = []
     x = 0x5EC12E7
     for i in range(N_PERMS_SQL):
         x = (1103515245 * x + 12345) % (1 << 31)
-        a = x | 1
+        a = (x % (MH_PRIME - 1)) + 1
         x = (1103515245 * x + 12345) % (1 << 31)
-        b = x
+        b = x % MH_PRIME
         out.append((i, a, b))
     return out
 
@@ -426,7 +436,7 @@ def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduces each partition to one row per doc before the wire.
     """
     grams = _docs(spark, sf_dir).select("doc_id", F.explode(_grams3()).alias("gram"))
-    h31 = (_h60(F.col("gram")) % F.lit(1 << 31)).alias("h31")
+    h31 = (_h60(F.col("gram")) % F.lit(MH_PRIME)).alias("h31")
     aggs = [
         F.min(
             (F.lit(a) * F.col("h31") + F.lit(b)) % F.lit(MH_PRIME)
@@ -455,7 +465,7 @@ def _sql_minhash_core() -> str:
     perm_rows = ", ".join(f"({i}, {a}, {b})" for i, a, b in _perm_constants())
     return f"""
 WITH grams AS ({_SQL_GRAMS3}),
-hashes AS (SELECT doc_id, {_SQL_H60} % {1 << 31} AS h31 FROM grams),
+hashes AS (SELECT doc_id, {_SQL_H60} % {MH_PRIME} AS h31 FROM grams),
 perms(perm, a, b) AS (VALUES {perm_rows})
 SELECT doc_id, perm, min((a * h31 + b) % {MH_PRIME}) AS mh
 FROM hashes CROSS JOIN perms
@@ -3370,6 +3380,119 @@ FROM sizes GROUP BY band
 """
 
 
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-quality calibration audit: over the LSH candidate pairs,
+    compare the MinHash Jaccard ESTIMATE (fraction of agreeing perms,
+    k/16 — exactly representable) against the EXACT Jaccard of the same
+    uncapped distinct-3-gram sets the signatures were built from, and
+    emit one row of (n_pairs, mean_abs_err, max_abs_err, bias). This is
+    the measurement behind the north rule's "same shingle/signature
+    config" clause: recall (lsh_eval_metrics) says the bands catch the
+    pairs; calibration says the signature WIDTH is sized right (E[err] ~
+    1/sqrt(n_perms)) before anyone trusts est-based thresholds.
+
+    Scale: the candidate set is the bounded LSH output; the exact side is
+    one gram equi-join restricted to candidate docs — at 10^12 files this
+    runs on the stratified sample (sample_stratified), same policy as
+    lsh_eval_metrics. Estimates join as ONE wide row per doc (mh0..mh15,
+    no 16x explosion).
+    """
+    pairs = q_lsh_band_pairs(spark, sf_dir)  # (a, b), bounded
+    wide = _minhash_wide(spark, sf_dir)
+    wa = wide.select(
+        F.col("doc_id").alias("a"),
+        *[F.col(f"mh{i}").alias(f"xa{i}") for i in range(N_PERMS_SQL)],
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("b"),
+        *[F.col(f"mh{i}").alias(f"xb{i}") for i in range(N_PERMS_SQL)],
+    )
+    agree = sum(
+        F.when(F.col(f"xa{i}") == F.col(f"xb{i}"), 1).otherwise(0)
+        for i in range(N_PERMS_SQL)
+    )
+    est = (
+        pairs.join(wa, "a")
+        .join(wb, "b")
+        .select("a", "b", (agree / F.lit(N_PERMS_SQL)).alias("est"))
+    )
+    # exact Jaccard over the SAME sets the signature hashed: uncapped
+    # distinct 3-grams (ngram_jaccard_pairs df-caps; the signature does
+    # not, so the calibration must not either)
+    grams = _docs(spark, sf_dir).select("doc_id", F.explode(_grams3()).alias("gram"))
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    l, r = grams.alias("l"), grams.alias("r")
+    inter = (
+        l.join(r, "gram")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count("*").alias("i"))
+    )
+    scored = (
+        est.join(inter, ["a", "b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("nb")), "b")
+        .select(
+            "est",
+            (
+                F.coalesce("i", F.lit(0))
+                / (F.col("na") + F.col("nb") - F.coalesce("i", F.lit(0)))
+            ).alias("jac"),
+        )
+    )
+    return scored.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg(F.abs(F.col("est") - F.col("jac"))), 4).alias("mean_abs_err"),
+        F.round(F.max(F.abs(F.col("est") - F.col("jac"))), 4).alias("max_abs_err"),
+        F.round(F.avg(F.col("est") - F.col("jac")), 4).alias("bias"),
+    )
+
+
+SQL_MINHASH_CALIBRATION = f"""
+WITH mh AS ({_sql_minhash_core()}),
+bands AS (
+  SELECT doc_id, CAST(floor(perm / {BAND_ROWS_SQL}) AS BIGINT) AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm)) AS band_sig
+  FROM mh GROUP BY doc_id, 2
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.band_sig = r.band_sig
+  WHERE l.doc_id < r.doc_id
+),
+est AS (
+  SELECT p.a, p.b,
+         sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END)
+           / CAST({N_PERMS_SQL} AS DOUBLE) AS est
+  FROM pairs p
+  JOIN mh ma ON ma.doc_id = p.a
+  JOIN mh mb ON mb.doc_id = p.b AND mb.perm = ma.perm
+  GROUP BY 1, 2
+),
+grams AS ({_SQL_GRAMS3}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+  FROM grams l JOIN grams r ON l.gram = r.gram AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT e.est,
+         coalesce(i.i, 0)
+           / CAST(na.sz + nb.sz - coalesce(i.i, 0) AS DOUBLE) AS jac
+  FROM est e
+  LEFT JOIN inter i ON i.a = e.a AND i.b = e.b
+  JOIN sizes na ON na.doc_id = e.a
+  JOIN sizes nb ON nb.doc_id = e.b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(abs(est - jac)), 4) AS mean_abs_err,
+       round(max(abs(est - jac)), 4) AS max_abs_err,
+       round(avg(est - jac), 4) AS bias
+FROM scored
+"""
+
+
 QUERIES = {
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
     "round_trip_sha": (q_round_trip_sha, SQL_ROUND_TRIP_SHA),
@@ -3451,4 +3574,5 @@ QUERIES = {
     "passage_windows": (q_passage_windows, SQL_PASSAGE_WINDOWS),
     "chunk_dup_spans": (q_chunk_dup_spans, SQL_CHUNK_DUP_SPANS),
     "band_skew_report": (q_band_skew_report, SQL_BAND_SKEW_REPORT),
+    "minhash_calibration": (q_minhash_calibration, SQL_MINHASH_CALIBRATION),
 }

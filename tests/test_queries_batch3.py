@@ -21,12 +21,12 @@ from libchunk_spark import queries as Q
 def test_lsh_eval_recall_floor_for_demo_config(spark):
     """The metric query audits the SQL-expressible DEMO LSH config
     (16 perms / 4 bands — the oracle must reproduce the sketch, so the
-    128-perm production UDF config can't be used here). Measured 0.96 at
-    sf0.01 (24/25 truth pairs; the miss is a jac barely over the 0.2
-    ground-truth threshold, where a 4-band sketch's catch probability is
-    by design low) — floor 0.9 with margin. The production config's
-    north-star >= 0.99 floor is pinned separately in test_recall.py
-    (measured 1.00)."""
+    128-perm production UDF config can't be used here). Measured 1.00 at
+    sf0.001, sf0.01 AND sf0.1 after the perm-family fix (mod 2^31-1,
+    genuinely min-wise — the earlier 0.96 reading included a truth pair
+    the order-correlated family missed; see minhash_calibration) — floor
+    0.9 with margin. The production config's north-star >= 0.99 floor is
+    pinned separately in test_recall.py (measured 1.00)."""
     row = Q.q_lsh_eval_metrics(spark, "/root/testdata/sf0.01").collect()[0]
     assert row["tp"] + row["fn"] > 0  # ground truth is non-trivial
     assert row["recall"] >= 0.9, row

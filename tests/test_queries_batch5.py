@@ -227,3 +227,15 @@ def test_band_skew_report_reconciles_with_candidates(spark):
     # predictor, so the predictor bounds the distinct pair count
     n_pairs = Q.q_lsh_band_pairs(spark, SF).count()
     assert sum(r["cand_pairs"] for r in rows) >= n_pairs
+
+
+def test_minhash_calibration_error_within_theory(spark):
+    """16-perm MinHash: per-pair |err| is Binomial(16, J)/16-distributed,
+    sd <= 0.125; the MEAN abs error over candidate pairs should sit well
+    under 2 sd, and the estimator must not be grossly biased."""
+    r = Q.q_minhash_calibration(spark, SF).collect()[0]
+    assert r["n_pairs"] == Q.q_lsh_band_pairs(spark, SF).count()
+    assert r["n_pairs"] > 0
+    assert 0.0 <= r["mean_abs_err"] <= 0.25
+    assert r["max_abs_err"] <= 0.8
+    assert abs(r["bias"]) <= r["mean_abs_err"] + 1e-9
