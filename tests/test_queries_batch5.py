@@ -229,6 +229,57 @@ def test_band_skew_report_reconciles_with_candidates(spark):
     assert sum(r["cand_pairs"] for r in rows) >= n_pairs
 
 
+def test_perm_family_is_minwise_on_random_sets():
+    """Pure-Python guard on the SQL-demo perm family itself (no Spark):
+    P(argmin collision) must track Jaccard. This pins the exact failure
+    minhash_calibration caught — the old 2^61-1 modulus over 31-bit
+    inputs never wrapped, so ALL perms shared one argmin order and any
+    two sets sharing their min element estimated J = 1.0."""
+    import random
+
+    from libchunk_spark.queries import MH_PRIME, N_PERMS_SQL, _perm_constants
+
+    perms = _perm_constants()
+    rng = random.Random(99)
+
+    def est(sa, sb):
+        agree = 0
+        for _, a, b in perms:
+            ma = min((a * h + b) % MH_PRIME for h in sa)
+            mb = min((a * h + b) % MH_PRIME for h in sb)
+            agree += ma == mb
+        return agree / N_PERMS_SQL
+
+    # (1) the historical failure shape: two sets sharing exactly ONE
+    # element, which also carries the globally smallest raw hash — the
+    # broken family read est = 1.0 here; honest perms must not.
+    shared = 3  # tiny raw hash: the old family's argmin for every perm
+    sa = frozenset([shared] + [rng.randrange(1 << 20, MH_PRIME) for _ in range(80)])
+    sb = frozenset([shared] + [rng.randrange(1 << 20, MH_PRIME) for _ in range(80)])
+    assert est(sa, sb) < 0.5, "min-raw-hash element must not win every perm"
+
+    # (2) calibration over random pairs at mixed similarity levels
+    errs = []
+    for _ in range(60):
+        n = rng.randrange(30, 120)
+        base = [rng.randrange(MH_PRIME) for _ in range(n)]
+        keep = rng.uniform(0.1, 0.9)
+        a_set = frozenset(base)
+        b_set = frozenset(
+            [h for h in base if rng.random() < keep]
+            + [rng.randrange(MH_PRIME) for _ in range(int(n * (1 - keep)))]
+        )
+        j = len(a_set & b_set) / len(a_set | b_set)
+        errs.append(est(a_set, b_set) - j)
+    n = len(errs)
+    bias = sum(errs) / n
+    mae = sum(abs(e) for e in errs) / n
+    # 16 perms: per-pair sd <= 0.125 -> mean |err| well under 0.15, and
+    # the estimator must be near-unbiased over mixed-J pairs
+    assert mae < 0.15, (mae, bias)
+    assert abs(bias) < 0.06, (mae, bias)
+
+
 def test_minhash_calibration_error_within_theory(spark):
     """16-perm MinHash: per-pair |err| is Binomial(16, J)/16-distributed,
     sd <= 0.125; the MEAN abs error over candidate pairs should sit well
