@@ -3493,6 +3493,53 @@ FROM scored
 """
 
 
+def q_passage_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-embedding delta on content-addressed passage
+    identity: given an old corpus snapshot (doc_id % 10 != 0) and a new
+    one (doc_id % 10 != 1 — deterministic stand-ins for two ingest
+    snapshots), classify every distinct passage_sha as added / removed /
+    unchanged. The 'added' set is EXACTLY the embedding work an
+    incremental pipeline schedules; 'unchanged' passages keep their
+    embeddings by key — the same content-addressable skip libchunk's
+    indexed move performs on chunk K-keys
+    (/root/reference/bits/move.go), lifted to passage granularity.
+
+    Shape: distinct-sha per side (one partial-agg shuffle each, crypto
+    keys so skew-free), then anti/semi joins on the sha — Spark's set-op
+    plans; the DuckDB oracle states the same thing as EXCEPT/INTERSECT.
+    At 10^12 files both sides are passage tables the pipeline already
+    materializes; the delta never touches text.
+    """
+    p = q_passage_windows(spark, sf_dir).select("doc_id", "passage_sha")
+    old = p.where(F.col("doc_id") % 10 != 0).select("passage_sha").distinct()
+    new = p.where(F.col("doc_id") % 10 != 1).select("passage_sha").distinct()
+    added = new.join(old, "passage_sha", "left_anti").agg(
+        F.count("*").alias("n_shas")
+    ).select(F.lit("added").alias("change"), "n_shas")
+    removed = old.join(new, "passage_sha", "left_anti").agg(
+        F.count("*").alias("n_shas")
+    ).select(F.lit("removed").alias("change"), "n_shas")
+    unchanged = new.join(old, "passage_sha", "left_semi").agg(
+        F.count("*").alias("n_shas")
+    ).select(F.lit("unchanged").alias("change"), "n_shas")
+    return added.unionAll(removed).unionAll(unchanged)
+
+
+SQL_PASSAGE_DELTA = f"""
+WITH p AS ({SQL_PASSAGE_WINDOWS}),
+old AS (SELECT DISTINCT passage_sha FROM p WHERE doc_id % 10 != 0),
+new AS (SELECT DISTINCT passage_sha FROM p WHERE doc_id % 10 != 1)
+SELECT 'added' AS change, CAST(count(*) AS BIGINT) AS n_shas
+FROM (SELECT passage_sha FROM new EXCEPT SELECT passage_sha FROM old)
+UNION ALL
+SELECT 'removed' AS change, CAST(count(*) AS BIGINT) AS n_shas
+FROM (SELECT passage_sha FROM old EXCEPT SELECT passage_sha FROM new)
+UNION ALL
+SELECT 'unchanged' AS change, CAST(count(*) AS BIGINT) AS n_shas
+FROM (SELECT passage_sha FROM new INTERSECT SELECT passage_sha FROM old)
+"""
+
+
 QUERIES = {
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
     "round_trip_sha": (q_round_trip_sha, SQL_ROUND_TRIP_SHA),
@@ -3575,4 +3622,5 @@ QUERIES = {
     "chunk_dup_spans": (q_chunk_dup_spans, SQL_CHUNK_DUP_SPANS),
     "band_skew_report": (q_band_skew_report, SQL_BAND_SKEW_REPORT),
     "minhash_calibration": (q_minhash_calibration, SQL_MINHASH_CALIBRATION),
+    "passage_delta": (q_passage_delta, SQL_PASSAGE_DELTA),
 }

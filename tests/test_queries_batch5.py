@@ -229,6 +229,21 @@ def test_band_skew_report_reconciles_with_candidates(spark):
     assert sum(r["cand_pairs"] for r in rows) >= n_pairs
 
 
+def test_passage_delta_reconciles(spark):
+    """added + unchanged == distinct shas in the new snapshot;
+    removed + unchanged == distinct shas in the old; all three classes
+    are non-trivial on the corpus (both snapshots drop a different
+    doc_id decile, and near-dup docs share passages across deciles)."""
+    rows = {r["change"]: r["n_shas"] for r in Q.q_passage_delta(spark, SF).collect()}
+    assert set(rows) == {"added", "removed", "unchanged"}
+    p = Q.q_passage_windows(spark, SF).select("doc_id", "passage_sha")
+    n_old = p.where("doc_id % 10 != 0").select("passage_sha").distinct().count()
+    n_new = p.where("doc_id % 10 != 1").select("passage_sha").distinct().count()
+    assert rows["added"] + rows["unchanged"] == n_new
+    assert rows["removed"] + rows["unchanged"] == n_old
+    assert rows["unchanged"] > 0 and rows["added"] > 0 and rows["removed"] > 0
+
+
 def test_perm_family_is_minwise_on_random_sets():
     """Pure-Python guard on the SQL-demo perm family itself (no Spark):
     P(argmin collision) must track Jaccard. This pins the exact failure
