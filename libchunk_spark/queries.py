@@ -3141,7 +3141,18 @@ def q_passage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     window = min(64, remaining) tokens — short docs yield exactly one
     window of all their tokens.
     """
-    t = _tokens()
+    return passages_of(_docs(spark, sf_dir))
+
+
+def passages_of(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, passage_idx, start_token, passage_tokens, passage_sha) for a
+    documents-shaped frame — the reusable core of q_passage_windows,
+    shared with the streaming maintainer
+    (streaming/aggmaint.py::start_passage_maintenance) so batch and
+    maintained tables agree by construction."""
+    t = F.split(F.col(text_col), " ")
     starts = F.sequence(
         F.lit(0),
         F.greatest(
@@ -3154,8 +3165,11 @@ def q_passage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         starts, lambda s: F.concat_ws(" ", F.slice(t, s + 1, PASSAGE_TOKENS))
     )
     return (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.size(t).alias("n_tokens"), F.posexplode(wins).alias("pidx", "passage"))
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(t).alias("n_tokens"),
+            F.posexplode(wins).alias("pidx", "passage"),
+        )
         .select(
             "doc_id",
             F.col("pidx").cast("int").alias("passage_idx"),

@@ -347,3 +347,116 @@ def start_topgrams_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --------------------------------------------------------------- passages
+
+PASSAGE_SBUCKETS = 64  # sha-index sub-partitions (file-prune the probe)
+
+
+def start_passage_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+):
+    """Maintain the content-addressed RAG passage table under a documents
+    stream — the streaming twin of queries.q_passage_windows, plus the
+    first-seen sha delta an incremental EMBEDDING scheduler consumes
+    (queries.q_passage_delta is the batch form of that delta).
+
+    State layout under `state_dir`:
+      passages/batch=<id>/            the batch docs' passage rows
+      sha_index/batch=<id>/sbucket=<k>/  FIRST-SEEN shas of that batch
+                                         (the maintained dedup index)
+      new_shas/batch=<id>/            same rows, reader-friendly copy
+
+    Per trigger (cost O(batch) + a file-pruned index probe, never
+    O(history) shuffle):
+      1. passages_of(batch) — map-only (the batch query's exact
+         expression, so maintained == batch by construction);
+      2. the batch's distinct shas anti-join the sha index, with the
+         index scan restricted to (batch < id) AND (sbucket IN the <= 64
+         buckets the batch's shas hash into) — partition-level file
+         pruning, the same discipline as ingest's band index;
+      3. all three writes are batch-keyed overwrites (idempotent under
+         at-least-once replay: the replayed anti-join reads batch < id,
+         which excludes its own previous partial write, so it recomputes
+         the identical first-seen set).
+
+    An embedding pipeline tails new_shas/ and embeds exactly those rows;
+    unchanged passages keep their embeddings by sha — libchunk's
+    indexed-move skip (/root/reference/bits/move.go) at passage
+    granularity. Returns the StreamingQuery (availableNow trigger).
+    """
+    passages_root = os.path.join(state_dir, "passages")
+    index_root = os.path.join(state_dir, "sha_index")
+    new_root = os.path.join(state_dir, "new_shas")
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        from libchunk_spark.queries import passages_of
+
+        ss = batch.sparkSession
+        p = passages_of(batch).localCheckpoint()
+        p.write.mode("overwrite").parquet(
+            os.path.join(passages_root, f"batch={batch_id}")
+        )
+        shas = (
+            p.select("passage_sha")
+            .distinct()
+            .withColumn(
+                "sbucket",
+                F.pmod(F.xxhash64("passage_sha"), F.lit(PASSAGE_SBUCKETS)).cast(
+                    "int"
+                ),
+            )
+            .localCheckpoint()
+        )
+        buckets = sorted(
+            r["sbucket"] for r in shas.select("sbucket").distinct().collect()
+        )
+        new = shas
+        if os.path.isdir(index_root) and any(
+            e.startswith("batch=") for e in os.listdir(index_root)
+        ):
+            hist = (
+                ss.read.parquet(index_root)
+                .where(F.col("batch") < batch_id)
+                .where(F.col("sbucket").isin(buckets))
+                .select("passage_sha")
+            )
+            new = shas.join(hist, "passage_sha", "left_anti")
+        new = new.localCheckpoint()
+        new.write.mode("overwrite").partitionBy("sbucket").parquet(
+            os.path.join(index_root, f"batch={batch_id}")
+        )
+        new.select("passage_sha").write.mode("overwrite").parquet(
+            os.path.join(new_root, f"batch={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_passages(spark: SparkSession, state_dir: str) -> DataFrame:
+    """All maintained passage rows (batch partition column dropped)."""
+    return spark.read.parquet(os.path.join(state_dir, "passages")).drop("batch")
+
+
+def read_new_shas(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(batch, passage_sha) — the per-trigger first-seen sha deltas, in
+    embedding-scheduler order."""
+    return spark.read.parquet(os.path.join(state_dir, "new_shas")).select(
+        "batch", "passage_sha"
+    )

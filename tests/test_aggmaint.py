@@ -193,3 +193,131 @@ def test_dir_merkle_recompute_prunes_untouched_buckets(spark, tmp_path):
     assert "text" not in plan, plan
     got = {(r["source"], r["dirname"]) for r in roots.collect()}
     assert got == set(keys)
+
+
+def test_maintained_passages_equal_batch_and_first_seen_deltas(
+    spark, tmp_path
+):
+    """Passage maintenance: the maintained table equals passages_of over
+    the full corpus after any number of triggers AND after a restart with
+    new files; the per-batch new_shas are a disjoint partition of the
+    corpus's distinct shas (first-seen only — the embedding scheduler's
+    work list never repeats a sha)."""
+    from libchunk_spark.queries import passages_of
+    from libchunk_spark.streaming.aggmaint import (
+        read_new_shas,
+        read_passages,
+        start_passage_maintenance,
+    )
+
+    def rows(df):
+        return sorted(
+            (r["doc_id"], r["passage_idx"], r["start_token"],
+             r["passage_tokens"], r["passage_sha"])
+            for r in df.collect()
+        )
+
+    src = str(tmp_path / "incoming")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    # long texts -> multiple passages per doc; every 4th doc repeats doc
+    # 0's text so shas repeat ACROSS batches (exercises first-seen)
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                " ".join(
+                    f"w{(0 if i % 4 == 0 else i)}_{j}" for j in range(150)
+                ),
+                f"src{i % 3}",
+            )
+            for i in range(40)
+        ],
+        "doc_id long, text string, source string",
+    )
+    for i in range(4):
+        docs.where(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/part{i}")
+
+    q = start_passage_maintenance(spark, f"{src}/*", state, ckpt)
+    q.awaitTermination(180)
+    assert rows(read_passages(spark, state)) == rows(passages_of(docs))
+
+    new = read_new_shas(spark, state)
+    per_batch = new.groupBy("passage_sha").count()
+    assert per_batch.where("count > 1").count() == 0  # disjoint deltas
+    n_distinct = (
+        passages_of(docs).select("passage_sha").distinct().count()
+    )
+    assert new.count() == n_distinct  # partition covers every sha once
+
+    # restart with new docs: maintained == batch on the grown corpus and
+    # only genuinely-new shas join the work list
+    docs2 = spark.createDataFrame(
+        [
+            (10_000 + i, " ".join(f"n{i}_{j}" for j in range(100)), "srcN")
+            for i in range(6)
+        ]
+        + [(10_100, " ".join(f"w0_{j}" for j in range(150)), "srcN")],
+        "doc_id long, text string, source string",
+    )  # 10_100 repeats doc 0's text: contributes NO new shas
+    docs2.coalesce(1).write.mode("overwrite").parquet(f"{src}/part_new")
+    q = start_passage_maintenance(spark, f"{src}/*", state, ckpt)
+    q.awaitTermination(180)
+    full = docs.unionByName(docs2)
+    assert rows(read_passages(spark, state)) == rows(passages_of(full))
+    new2 = read_new_shas(spark, state)
+    assert new2.groupBy("passage_sha").count().where("count > 1").count() == 0
+    assert (
+        new2.count()
+        == passages_of(full).select("passage_sha").distinct().count()
+    )
+
+
+def test_passage_index_probe_prunes_sbuckets(spark, tmp_path):
+    """The anti-join's history read must carry PartitionFilters on both
+    batch (< id) and sbucket (IN the batch's buckets) — file-level
+    pruning, not a full index scan per trigger."""
+    import os as _os
+
+    from libchunk_spark.queries import passages_of
+    from libchunk_spark.streaming.aggmaint import PASSAGE_SBUCKETS
+
+    index_root = str(tmp_path / "sha_index")
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(80)), "s") for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    shas = (
+        passages_of(docs)
+        .select("passage_sha")
+        .distinct()
+        .withColumn(
+            "sbucket",
+            F.pmod(F.xxhash64("passage_sha"), F.lit(PASSAGE_SBUCKETS)).cast("int"),
+        )
+    )
+    shas.write.partitionBy("sbucket").parquet(f"{index_root}/batch=0")
+    probe = (
+        passages_of(docs.limit(2))
+        .select("passage_sha")
+        .distinct()
+        .withColumn(
+            "sbucket",
+            F.pmod(F.xxhash64("passage_sha"), F.lit(PASSAGE_SBUCKETS)).cast("int"),
+        )
+    )
+    buckets = sorted(r["sbucket"] for r in probe.select("sbucket").distinct().collect())
+    assert len(buckets) < PASSAGE_SBUCKETS  # pruning is real
+    hist = (
+        spark.read.parquet(index_root)
+        .where(F.col("batch") < 1)
+        .where(F.col("sbucket").isin(buckets))
+        .select("passage_sha")
+    )
+    plan = hist._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "sbucket" in plan, plan
+    got = probe.join(hist, "passage_sha", "left_anti").count()
+    assert got == 0  # every probe sha already indexed
