@@ -3554,13 +3554,20 @@ FROM (SELECT passage_sha FROM new INTERSECT SELECT passage_sha FROM old)
 """
 
 
+# Registry order is load-bearing: the driver's correctness gate checks the
+# FIRST 50 entries in insertion order (CORRECTNESS_r06 stopped at exactly
+# dict position 50, leaving the 20 newest queries ungated — VERDICT r06
+# next #1). Policy: the least-proven queries (newest, or whose
+# implementation changed this round) sit INSIDE the first-50 window;
+# queries rotate to the tail only once they have at least one prior-round
+# driver-green row AND pytest coverage. tests/test_entry.py still runs the
+# driver-style DuckDB parity check over ALL entries every suite run, so
+# tail queries keep local oracle-parity evidence even while rotated out.
 QUERIES = {
+    # -- core dedup / chunker invariants (north rule; keep driver-gated) --
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
     "round_trip_sha": (q_round_trip_sha, SQL_ROUND_TRIP_SHA),
     "move_skip": (q_move_skip, SQL_MOVE_SKIP),
-    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
-    "lang_id": (q_lang_id, SQL_LANG_ID),
-    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "ngram_containment_pairs": (
         q_ngram_containment_pairs, SQL_NGRAM_CONTAINMENT_PAIRS,
@@ -3572,46 +3579,31 @@ QUERIES = {
     # incremental update must reproduce the batch answer exactly
     "components_incremental": (q_components_incremental, SQL_COMPONENTS),
     "dedup_verdicts": (q_dedup_verdicts, SQL_DEDUP_VERDICTS),
-    "event_window_stats": (q_event_window_stats, SQL_EVENT_WINDOW_STATS),
-    "event_dups": (q_event_dups, SQL_EVENT_DUPS),
-    "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
-    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
-    "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
     "cosine_pairs": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_signlsh": (q_ann_signlsh, SQL_ANN_SIGNLSH),
-    "regex_tokens": (q_regex_tokens, SQL_REGEX_TOKENS),
-    "decontam_flags": (q_decontam_flags, SQL_DECONTAM_FLAGS),
-    "quality_verdicts": (q_quality_verdicts, SQL_QUALITY_VERDICTS),
-    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),  # recall-floor contract vs exact set
     "emb_dedup_verdicts": (q_emb_dedup_verdicts, SQL_EMB_DEDUP_VERDICTS),
     "topk_similar": (q_topk_similar, SQL_TOPK_SIMILAR),
     "topk_ivf": (q_topk_ivf, SQL_TOPK_IVF),  # recall-floor contract
     "topk_pq": (q_topk_pq, SQL_TOPK_IVF),  # same exact-ranking oracle/floor
     "topk_ivfpq": (q_topk_ivfpq, SQL_TOPK_IVF),  # IVFADC, same contract
-    "crossmodal_dup_flags": (q_crossmodal_dup_flags, SQL_CROSSMODAL_DUP_FLAGS),
     "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     # chunk boundaries are not SQL-expressible, but their byte-total and
     # bound invariants are — value-checked contracts (VERDICT r02 item 4)
     "chunk_stats": (q_chunk_stats, SQL_CHUNK_STATS),
     "dedup_ratio": (q_dedup_ratio, SQL_DEDUP_RATIO),
-    "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
-    "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
-    "event_quantiles": (q_event_quantiles, SQL_EVENT_QUANTILES),
-    "top_docs_per_source": (q_top_docs_per_source, SQL_TOP_DOCS_PER_SOURCE),
     "event_asof_attribution": (
         q_event_asof_attribution, SQL_EVENT_ASOF_ATTRIBUTION,
     ),
     "event_range_counts": (q_event_range_counts, SQL_EVENT_RANGE_COUNTS),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     "salted_skew_agg": (q_salted_skew_agg, SQL_SALTED_SKEW_AGG),
-    "props_json_stats": (q_props_json_stats, SQL_PROPS_JSON_STATS),
+    "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
+    # implementation de-quadratized round 7 — must stay driver-gated
     "clone_type2_groups": (q_clone_type2_groups, SQL_CLONE_TYPE2_GROUPS),
-    "source_similarity": (q_source_similarity, SQL_SOURCE_SIMILARITY),
-    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
-    "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
+    # -- round-6 additions, first driver-gated round 7 (VERDICT r06 #1) --
     # contract oracle (exact count + bound verdict), like the recall floors
     "approx_distinct_users": (q_approx_distinct_users, SQL_APPROX_DISTINCT_USERS),
     "event_rolling_stats": (q_event_rolling_stats, SQL_EVENT_ROLLING_STATS),
@@ -3637,4 +3629,27 @@ QUERIES = {
     "band_skew_report": (q_band_skew_report, SQL_BAND_SKEW_REPORT),
     "minhash_calibration": (q_minhash_calibration, SQL_MINHASH_CALIBRATION),
     "passage_delta": (q_passage_delta, SQL_PASSAGE_DELTA),
+    # ---------------- driver-gate window boundary (50) ----------------
+    # Tail: >= 1 prior driver-green row (CORRECTNESS_r01..r06) + pytest +
+    # the all-registry DuckDB parity test. Rotate back in when touched.
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "event_window_stats": (q_event_window_stats, SQL_EVENT_WINDOW_STATS),
+    "event_dups": (q_event_dups, SQL_EVENT_DUPS),
+    "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
+    "regex_tokens": (q_regex_tokens, SQL_REGEX_TOKENS),
+    "decontam_flags": (q_decontam_flags, SQL_DECONTAM_FLAGS),
+    "quality_verdicts": (q_quality_verdicts, SQL_QUALITY_VERDICTS),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "crossmodal_dup_flags": (q_crossmodal_dup_flags, SQL_CROSSMODAL_DUP_FLAGS),
+    "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
+    "event_quantiles": (q_event_quantiles, SQL_EVENT_QUANTILES),
+    "top_docs_per_source": (q_top_docs_per_source, SQL_TOP_DOCS_PER_SOURCE),
+    "props_json_stats": (q_props_json_stats, SQL_PROPS_JSON_STATS),
+    "source_similarity": (q_source_similarity, SQL_SOURCE_SIMILARITY),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
 }
