@@ -139,6 +139,39 @@ def make_chunk_rows_generator(cfg: ChunkerConfig, with_payload: bool = False):
     return gen
 
 
+SHINGLE_ROWS_SCHEMA = "file_id long, sh long"
+
+
+def make_shingle_rows_generator(cfg: ChunkerConfig):
+    """mapInPandas generator: (file_id, content) batches -> exploded distinct
+    shingle-hash rows (file_id, sh) — the exact uint64 sets (as int64)
+    MinHash signatures reduce, for est-vs-exact-Jaccard calibration
+    (q_minhash_calibration_prod). Same no-Generate rationale as
+    make_chunk_rows_generator."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                v.encode("utf-8") if isinstance(v, str) else _as_bytes(v)
+                for v in pdf["content"]
+            ]
+            hash_sets = shingle_hashes_batch(payloads, cfg)
+            fids = np.concatenate(
+                [
+                    np.full(hs.size, fid, dtype=np.int64)
+                    for fid, hs in zip(pdf["file_id"], hash_sets)
+                ]
+            ) if hash_sets else np.empty(0, dtype=np.int64)
+            shs = (
+                np.concatenate(hash_sets).view(np.int64)
+                if hash_sets
+                else np.empty(0, dtype=np.int64)
+            )
+            yield pd.DataFrame({"file_id": fids, "sh": shs})
+
+    return gen
+
+
 def make_signature_udf(shingle_cfg: ChunkerConfig, sig_cfg: SignatureConfig):
     """pandas UDF: binary content -> (minhash, simhash, bands, n_shingles)."""
 

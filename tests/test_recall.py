@@ -44,6 +44,59 @@ def test_minhash_estimates_jaccard():
     assert abs(est - true_j) < 0.12
 
 
+@pytest.mark.parametrize("n_files,seed,min_pairs", [(300, 123, 50), (600, 321, 150)])
+def test_minhash_prod_calibration_multi_pair(n_files, seed, min_pairs):
+    """VERDICT r06 next #2: est-vs-exact-Jaccard contract for the PRODUCTION
+    128-perm affine family (a*h+b mod 2^64, odd a) over the synthetic
+    corpus's planted near-dup pairs at two corpus scales — recall floors
+    alone do NOT validate a sketch (the SQL-demo family read est=1.0 for
+    five rounds while recall stayed green). Measured: mae 0.0175/0.0146,
+    maxerr 0.093, bias -0.0021/-0.0014 at n=300/600 — bounds keep 2-3x
+    margin, no knife-edge."""
+    import numpy as np
+
+    from libchunk_spark.functions.signatures import shingle_hashes_batch
+    from libchunk_spark.oracle import oracle_dup_pairs
+
+    rows = generate_corpus(n_files=n_files, seed=seed)
+    ids = [r.file_id for r in rows]
+    contents = [r.content.encode() for r in rows]
+    orc = oracle_dup_pairs(ids, contents, CFG)
+    assert len(orc.jaccards) >= min_pairs, "corpus must plant enough near-dups"
+    sets = dict(zip(ids, shingle_hashes_batch(contents, CFG.shingle)))
+    sigs = {i: minhash_signature(sets[i], CFG.signature) for i in ids}
+    errs = np.array(
+        [float((sigs[a] == sigs[b]).mean()) - j for (a, b), j in orc.jaccards.items()]
+    )
+    mae = float(np.abs(errs).mean())
+    maxerr = float(np.abs(errs).max())
+    bias = float(errs.mean())
+    assert mae <= 0.05, f"mae {mae:.4f} > 0.05 — signature family miscalibrated"
+    assert maxerr <= 0.20, f"maxerr {maxerr:.4f} > 0.20"
+    assert abs(bias) <= 0.02, f"bias {bias:+.4f} outside ±0.02"
+
+
+def test_minhash_prod_perms_are_minwise():
+    """Min-wise spot guard on the production mod-2^64 family: the r6 defect
+    class was perms that never wrap and therefore all preserve raw-hash
+    order (every perm's argmin == the raw argmin, est=1.0 for any pair
+    sharing it). Here the 128 perms must pick many DIFFERENT argmin
+    elements over a fixed random set, and essentially none may agree with
+    the raw-hash order. Measured: 123 distinct argmins, 0 raw-order hits."""
+    from libchunk_spark.functions.signatures import minhash_params
+
+    a, b = minhash_params(CFG.signature.num_perms, CFG.signature.seed)
+    assert bool((a % 2 == 1).all()), "affine multipliers must be odd (bijection)"
+    rng = np.random.default_rng(9)
+    hs = np.unique(rng.integers(0, 2**64, 4096, dtype=np.uint64))
+    perm_vals = hs[:, None] * a[None, :] + b[None, :]  # uint64 wraps mod 2^64
+    argmins = perm_vals.argmin(axis=0)
+    distinct = len(set(argmins.tolist()))
+    raw_hits = int((argmins == hs.argmin()).sum())
+    assert distinct >= 64, f"only {distinct} distinct argmins — order-preserving?"
+    assert raw_hits <= 5, f"{raw_hits}/128 perms preserve raw-hash order"
+
+
 def test_simhash_close_for_similar_sets():
     rng = np.random.default_rng(1)
     cfg = SignatureConfig()
