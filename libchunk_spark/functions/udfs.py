@@ -193,6 +193,31 @@ def make_signature_udf(shingle_cfg: ChunkerConfig, sig_cfg: SignatureConfig):
     return pandas_udf(fn, SIGNATURE_TYPE)
 
 
+def make_type2_canon_udf():
+    """pandas UDF: text -> Type-2 canonical pattern string, each token
+    replaced by the 1-based position of its FIRST occurrence in the token
+    list ("a b a" -> "1 2 1", identical to array_position semantics).
+
+    O(tokens) per row via pd.factorize + np.unique(return_index), replacing
+    the O(tokens^2) `array_position inside transform` expression (VERDICT
+    r06 next #3: a 100k-token doc cost ~10^10 comparisons in one task).
+    Tokenization is str.split(" "), byte-compatible with F.split(text, ' ')
+    (both keep empty tokens), so canon_sha is unchanged and the DuckDB
+    oracle needs no edit."""
+
+    def fn(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            out = []
+            for v in s:
+                toks = ("" if v is None else v).split(" ")
+                codes, _ = pd.factorize(np.asarray(toks, dtype=object))
+                _, first = np.unique(codes, return_index=True)
+                out.append(" ".join((first[codes] + 1).astype(str)))
+            yield pd.Series(out)
+
+    return pandas_udf(fn, T.StringType())
+
+
 def utf8_bytes(col):
     """content string -> binary, pinning the UTF-8 encoding in one place
     (SURVEY.md §7 risk: sha2/chunker byte agreement)."""

@@ -2013,17 +2013,20 @@ def q_clone_type2_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     abstraction used by Type-2 clone detectors; groups = sha256 of the
     canonical pattern. Catches renamed copies that exact sha-dedup misses.
 
-    Scale: canonicalization is a map-only array expression (array_position
-    over the token array — O(tokens^2) per doc with tiny constants, fine
-    for code-file-sized rows); the only shuffle is the group-size window
-    on the 32-byte canon_sha — the same crypto-key, skew-free shuffle
-    discipline as exact_dup_groups."""
+    Scale: canonicalization is a map-only vectorized pandas UDF, O(tokens)
+    per doc via pd.factorize + first-occurrence index (the r6 expression —
+    array_position inside transform — rescanned the token array per token,
+    O(tokens^2): 10^10 comparisons in one task for a 100k-token doc;
+    VERDICT r06 next #3). Byte-identical canon pattern, so the DuckDB
+    oracle is untouched (equality pinned old-vs-new + vs a pure-python
+    reference in tests/test_queries_batch3.py). The only shuffle is the
+    group-size window on the 32-byte canon_sha — the same crypto-key,
+    skew-free shuffle discipline as exact_dup_groups."""
     from pyspark.sql import Window
 
-    t = _tokens()
-    canon = F.concat_ws(
-        " ", F.transform(t, lambda x: F.array_position(t, x).cast("string"))
-    )
+    from libchunk_spark.functions.udfs import make_type2_canon_udf
+
+    canon = make_type2_canon_udf()(F.col("text"))
     return (
         _docs(spark, sf_dir)
         .select("doc_id", F.sha2(canon, 256).alias("canon_sha"))

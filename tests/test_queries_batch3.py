@@ -132,3 +132,70 @@ def test_dir_merkle_identical_dirs_share_root(spark, tmp_path):
     assert out["r1"]["merkle"] == out["r2"]["merkle"]
     assert out["r1"]["merkle"] != out["r3"]["merkle"]
     assert all(r["n_shared"] == 2 for r in out.values())
+
+
+def test_clone_type2_canon_udf_equals_old_expression(spark):
+    """VERDICT r06 next #3: the O(tokens) factorize-based canonicalization
+    must be byte-identical to the r6 O(tokens^2) array_position-in-
+    transform expression — on the driver corpus AND on adversarial token
+    shapes (repeats before/after, duplicate-then-new, empty tokens from
+    double/trailing/leading spaces, empty string, single token)."""
+    from libchunk_spark.functions.udfs import make_type2_canon_udf
+
+    tricky = [
+        (0, "a b a"),
+        (1, "a a b"),
+        (2, "x y x"),
+        (3, "a  b"),        # double space -> empty middle token
+        (4, "a b "),        # trailing space -> empty last token
+        (5, " a b"),        # leading space -> empty first token
+        (6, ""),            # empty text -> one empty token
+        (7, "solo"),
+        (8, "t t t t t"),
+        (9, "p q r q p r p"),
+    ]
+    docs = spark.createDataFrame(tricky, "doc_id long, text string").unionByName(
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text")
+        .withColumn("doc_id", F.col("doc_id") + 1000)
+    )
+    t = F.split(F.col("text"), " ")
+    old = F.concat_ws(
+        " ", F.transform(t, lambda x: F.array_position(t, x).cast("string"))
+    )
+    new = make_type2_canon_udf()(F.col("text"))
+    bad = (
+        docs.select("doc_id", old.alias("old"), new.alias("new"))
+        .where(F.col("old") != F.col("new"))
+        .collect()
+    )
+    assert bad == [], f"canon mismatch on {bad[:5]}"
+
+
+def test_clone_type2_long_doc_linear_smoke(spark):
+    """A 100k-token doc (10^10 comparisons under the old expression — would
+    crawl for minutes in one task) must canonicalize in seconds on the new
+    path, matching a pure-python first-occurrence reference."""
+    import time
+
+    import numpy as np
+
+    from libchunk_spark.functions.udfs import make_type2_canon_udf
+
+    rng = np.random.default_rng(4)
+    toks = rng.integers(0, 5000, 100_000).astype(str).tolist()
+    text = " ".join(toks)
+    first: dict[str, int] = {}
+    want = []
+    for i, tok in enumerate(toks):
+        first.setdefault(tok, i + 1)
+        want.append(str(first[tok]))
+    t0 = time.time()
+    got = (
+        spark.createDataFrame([(1, text)], "doc_id long, text string")
+        .select(make_type2_canon_udf()(F.col("text")).alias("canon"))
+        .collect()[0]["canon"]
+    )
+    took = time.time() - t0
+    assert got == " ".join(want)
+    assert took < 30, f"100k-token canonicalization took {took:.1f}s"
