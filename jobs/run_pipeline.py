@@ -37,7 +37,7 @@ def main() -> int:
     ap.add_argument(
         "--stage",
         default="all",
-        choices=["all", "chunk", "sign", "pairs", "components"],
+        choices=["all", "chunk", "sign", "pairs", "components", "audit"],
     )
     ap.add_argument("--config", default="corpus", choices=list(CONFIGS))
     ap.add_argument("--no-containment", action="store_true")
@@ -64,17 +64,26 @@ def main() -> int:
         )
     cat = StageCatalog(root=args.checkpoints)
     res = run_pipeline(
-        corpus, cfg, cat, with_containment=not args.no_containment
+        corpus,
+        cfg,
+        cat,
+        with_containment=not args.no_containment,
+        with_audits=args.stage == "audit",
     )
     # --stage selects how far to force materialization; earlier stages are
-    # computed lazily only as needed (and skipped when checkpointed)
+    # computed lazily only as needed (and skipped when checkpointed).
+    # "audit" materializes the cluster_stats/shard_plan aggregations over
+    # the components CHECKPOINT (the CC loop is read back, not re-run).
     target = {
         "chunk": res.chunk_index,
         "sign": res.signatures,
         "pairs": res.edges,
         "components": res.components,
+        "audit": res.cluster_stats,
         "all": res.components,
     }[args.stage]
+    if args.stage == "audit":
+        res.shard_plan.count()
     n = target.count()
     print(
         json.dumps(

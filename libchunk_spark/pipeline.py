@@ -59,6 +59,10 @@ class PipelineResult:
     components: DataFrame
     stages_run: list[str]
     stages_skipped: list[str]
+    # with_audits=True only: aggregations over the components CHECKPOINT
+    # (never re-pay the CC loop — VERDICT r06 next #4)
+    cluster_stats: DataFrame | None = None
+    shard_plan: DataFrame | None = None
 
 
 def run_pipeline(
@@ -69,6 +73,7 @@ def run_pipeline(
     bucketed_index: bool = False,
     index_buckets: int = 64,
     with_winnow: bool = False,
+    with_audits: bool = False,
 ) -> PipelineResult:
     """with_winnow=True adds winnowed-fingerprint containment edges
     (operators/winnow.py::winnow_candidate_edges) as a fourth candidate
@@ -172,6 +177,30 @@ def run_pipeline(
         ["cand_pairs", "corpus"],
     )
 
+    # stage 4 (optional): cluster audits — pure aggregations over the
+    # components/edges CHECKPOINTS via the shared audit shapes (the same
+    # functions the registry queries use, so checkpoint-fed == recomputed
+    # is structural). The CC loop is never re-paid here.
+    cstats = splan = None
+    if with_audits:
+        from libchunk_spark.operators.audit import cluster_stats, shard_plan
+
+        cstats = stage(
+            "cluster_stats",
+            lambda: cluster_stats(
+                components, edges.select("a", "b"), id_col="file_id"
+            ),
+            ["components", "cand_pairs"],
+        )
+        sizes = corpus.select(
+            "file_id", F.length(F.col("content")).alias("n_chars")
+        )
+        splan = stage(
+            "shard_plan",
+            lambda: shard_plan(components, sizes, id_col="file_id"),
+            ["components", "corpus"],
+        )
+
     return PipelineResult(
         chunk_index=chunk_index,
         file_keys=file_keys,
@@ -180,6 +209,8 @@ def run_pipeline(
         components=components,
         stages_run=ran,
         stages_skipped=skipped,
+        cluster_stats=cstats,
+        shard_plan=splan,
     )
 
 

@@ -1379,14 +1379,20 @@ FROM corpus l JOIN corpus r
 """
 
 
-def q_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_verdicts(
+    spark: SparkSession, sf_dir: str, components_source: DataFrame | None = None
+) -> DataFrame:
     """End-to-end dedup decision table: LSH components + representative
-    election (longest content, min doc_id tiebreak) -> keep/drop per doc."""
+    election (longest content, min doc_id tiebreak) -> keep/drop per doc.
+    components_source: see q_cluster_stats — checkpoint-fed at scale,
+    recompute for the oracle."""
     from libchunk_spark.operators.dedup import dedup_verdicts
 
-    comp = q_components(spark, sf_dir).select(
-        F.col("doc_id").alias("file_id"), "component"
-    )
+    comp = (
+        components_source
+        if components_source is not None
+        else q_components(spark, sf_dir)
+    ).select(F.col("doc_id").alias("file_id"), "component")
     corpus = _docs_corpus(spark, sf_dir)
     return dedup_verdicts(comp, corpus, policy="longest").select(
         F.col("file_id").alias("doc_id"), "component", "keep"
@@ -2559,43 +2565,31 @@ GROUP BY source, dirname
 """
 
 
-def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_cluster_stats(
+    spark: SparkSession, sf_dir: str, components_source: DataFrame | None = None
+) -> DataFrame:
     """Cluster-quality audit: per non-singleton component its size, its
     intra-cluster candidate-edge count, and edge density
     n_edges / (n_docs choose 2) — the dashboard a dedup operator reads to
     spot over-merged clusters (huge + sparse = a chain of borderline
     bands glued transitively) before acting on verdicts.
 
-    Scale shape: the edge→component mapping is an equi-join on doc_id
-    (edges carry their endpoints; components are the cheap side), then
-    two grouped counts on component. A giant component concentrates its
-    edge COUNT, not its edge list — the aggregates partial-combine
-    map-side, so skew hits one count cell, not a shuffle of all pairs.
+    Scale shape: one equi-join + two grouped counts (operators/audit.py —
+    skew hits a count cell, not a pair shuffle). components_source lets
+    callers feed the CHECKPOINTED components stage instead of re-paying
+    the CC loop (VERDICT r06 next #4; bench + run_pipeline do); the
+    registry default recomputes so the DuckDB oracle sees one
+    self-contained plan. Equality pinned in tests/test_queries_batch4.py.
     """
-    comp = q_components(spark, sf_dir)
+    from libchunk_spark.operators.audit import cluster_stats
+
+    comp = (
+        components_source
+        if components_source is not None
+        else q_components(spark, sf_dir)
+    )
     edges = q_lsh_band_pairs(spark, sf_dir)
-    sizes = comp.groupBy("component").agg(F.count("*").alias("n_docs"))
-    ec = (
-        edges.join(
-            comp.select(F.col("doc_id").alias("a"), "component"), "a"
-        )
-        .groupBy("component")
-        .agg(F.count("*").alias("n_edges"))
-    )
-    return (
-        sizes.where(F.col("n_docs") >= 2)
-        .join(ec, "component", "left")
-        .select(
-            "component",
-            "n_docs",
-            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
-            F.round(
-                F.coalesce("n_edges", F.lit(0))
-                / (F.col("n_docs") * (F.col("n_docs") - 1) / 2.0),
-                4,
-            ).alias("density"),
-        )
-    )
+    return cluster_stats(comp, edges, id_col="doc_id")
 
 
 SQL_CLUSTER_STATS = f"""
@@ -2770,7 +2764,9 @@ FROM wc GROUP BY doc_id
 N_SHARDS_HEX = 16  # one shard per leading sha256 hex nibble of the cluster id
 
 
-def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_shard_plan(
+    spark: SparkSession, sf_dir: str, components_source: DataFrame | None = None
+) -> DataFrame:
     """Cluster-aware output sharding: every doc of a dup cluster lands in
     the SAME shard (shard = first sha256 hex nibble of its component id),
     so downstream per-shard jobs can re-verify / re-cluster locally with
@@ -2781,21 +2777,19 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     billion-doc mega-cluster still maps to ONE shard — by design, dup
     closure must stay co-located; the balance audit is what surfaces it).
     The shard agg is a 16-group rollup after a doc_id-keyed broadcast-able
-    join of components against doc sizes.
+    join of components against doc sizes (operators/audit.py).
+    components_source: see q_cluster_stats — checkpoint-fed at scale,
+    recompute for the oracle.
     """
-    comp = q_components(spark, sf_dir)
-    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
-    shard = F.substring(F.sha2(F.col("component").cast("string"), 256), 1, 1)
-    return (
-        comp.join(docs, "doc_id")
-        .select(shard.alias("shard"), "component", "n_chars")
-        .groupBy("shard")
-        .agg(
-            F.countDistinct("component").alias("n_clusters"),
-            F.count("*").alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-        )
+    from libchunk_spark.operators.audit import shard_plan
+
+    comp = (
+        components_source
+        if components_source is not None
+        else q_components(spark, sf_dir)
     )
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return shard_plan(comp, docs, id_col="doc_id")
 
 
 SQL_SHARD_PLAN = f"""
@@ -2809,7 +2803,9 @@ GROUP BY 1
 """
 
 
-def q_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_curation_decisions(
+    spark: SparkSession, sf_dir: str, components_source: DataFrame | None = None
+) -> DataFrame:
     """The end-to-end corpus-curation decision table: one row per training
     doc with each gate's verdict and the final keep — quality (Gopher
     repetition filters), near-dup dedup (LSH components + representative
@@ -2821,14 +2817,16 @@ def q_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id % 97 == 0) are out of scope — they are the benchmark, not
     training data. Scale: three doc_id-keyed equi-joins over tables
     already partitioned by doc_id upstream; the gates themselves carry
-    their own scale stories (see their docstrings).
+    their own scale stories (see their docstrings). components_source
+    flows to the dedup gate — checkpoint-fed at scale, recompute for
+    the oracle (q_cluster_stats docstring).
     """
     quality = q_quality_verdicts(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("quality_keep")
     )
-    dedup = q_dedup_verdicts(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("dedup_keep")
-    )
+    dedup = q_dedup_verdicts(
+        spark, sf_dir, components_source=components_source
+    ).select("doc_id", F.col("keep").alias("dedup_keep"))
     contam = q_decontam_flags(spark, sf_dir)
     return (
         contam.join(quality, "doc_id")

@@ -86,3 +86,21 @@ def test_doc_len_histogram_partitions_and_bounds(spark):
         assert max(r["max_chars"], 1) < 2 ** (b + 1)
         assert r["min_chars"] <= r["max_chars"]
         assert r["n_docs"] * r["min_chars"] <= r["total_chars"]
+
+
+def test_audit_composites_checkpoint_fed_equals_recompute(spark):
+    """VERDICT r06 next #4: feeding the audit composites a precomputed
+    components table (the checkpoint path bench + run_pipeline use) must
+    reproduce the registry default (recompute) exactly, for all four
+    seam consumers."""
+    sf = "/root/testdata/sf0.01"
+    comp = Q.q_components(spark, sf).localCheckpoint()
+    for qfn in (
+        Q.q_cluster_stats,
+        Q.q_shard_plan,
+        Q.q_dedup_verdicts,
+        Q.q_curation_decisions,
+    ):
+        fed = sorted(tuple(r) for r in qfn(spark, sf, components_source=comp).collect())
+        ref = sorted(tuple(r) for r in qfn(spark, sf).collect())
+        assert fed == ref and len(ref) > 0, qfn.__name__

@@ -291,3 +291,41 @@ def test_pipeline_bucketed_index_resume_and_equality(spark, corpus, tmp_path_fac
     assert not r2.stages_run
     assert "lcs_" in r2.chunk_index._jdf.queryExecution().analyzed().toString()
     assert sorted(tuple(r) for r in r2.components.collect()) == want
+
+
+def test_audit_stages_read_components_checkpoint(spark, corpus, tmp_path_factory):
+    """with_audits=True materializes cluster_stats/shard_plan as stages
+    over the components CHECKPOINT; a rerun skips them like any stage, and
+    the values equal the audit shapes applied directly to the final
+    components/edges tables (the CC loop is never re-paid)."""
+    from pyspark.sql import functions as F
+
+    from libchunk_spark.operators.audit import cluster_stats, shard_plan
+
+    root = str(tmp_path_factory.mktemp("ckpt_audit"))
+    r1 = run_pipeline(
+        corpus, CFG, StageCatalog(root=root),
+        with_containment=False, with_audits=True,
+    )
+    assert {"cluster_stats", "shard_plan"} <= set(r1.stages_run)
+    got_cs = sorted(tuple(r) for r in r1.cluster_stats.collect())
+    got_sp = sorted(tuple(r) for r in r1.shard_plan.collect())
+    want_cs = sorted(
+        tuple(r)
+        for r in cluster_stats(
+            r1.components, r1.edges.select("a", "b"), id_col="file_id"
+        ).collect()
+    )
+    sizes = corpus.select("file_id", F.length(F.col("content")).alias("n_chars"))
+    want_sp = sorted(
+        tuple(r)
+        for r in shard_plan(r1.components, sizes, id_col="file_id").collect()
+    )
+    assert got_cs == want_cs and len(got_cs) > 0
+    assert got_sp == want_sp and len(got_sp) > 0
+    r2 = run_pipeline(
+        corpus, CFG, StageCatalog(root=root),
+        with_containment=False, with_audits=True,
+    )
+    assert {"cluster_stats", "shard_plan"} <= set(r2.stages_skipped)
+    assert r2.stages_run == []
