@@ -61,6 +61,36 @@ def main() -> None:
     # round-over-round comparisons need a pinned statistic.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
+    # --- host-capacity canary (VERDICT r06 next #6): a fixed reference
+    # computation timed at window start AND end, emitted in the JSON so a
+    # cross-window comparison can divide out the host level without a twin
+    # window (round 6 spent real effort adjudicating x3-9 window drift).
+    # NumPy kernel = single-core CPU level; trivial Spark action = JVM/
+    # scheduler level. Best-of-3 each, ~0.5 s total.
+    import numpy as np
+
+    def canary() -> dict[str, float]:
+        a = np.random.default_rng(0).standard_normal((512, 512))
+        t_np = min(
+            _timed(lambda: a @ a) for _ in range(3)
+        )
+        t_sp = min(
+            _timed(
+                lambda: spark.range(100_000)
+                .agg(F.bit_xor(F.xxhash64("id")))
+                .collect()
+            )
+            for _ in range(3)
+        )
+        return {"numpy_matmul_sec": round(t_np, 4), "spark_action_sec": round(t_sp, 4)}
+
+    def _timed(fn) -> float:
+        t0 = time.time()
+        fn()
+        return time.time() - t0
+
+    canary_start = canary()
+
     QUERY_NAMES = [
         "exact_dup_groups",
         "round_trip_sha",
@@ -262,6 +292,8 @@ def main() -> None:
         "n_chunk_keys": n_keys,
         "n_clusters": n_clusters,
         "corpus_gen_sec": round(gen_sec, 3),
+        "canary_start": canary_start,
+        "canary_end": canary(),
     }
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "BENCH", "scaling.json")

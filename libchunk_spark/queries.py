@@ -2896,7 +2896,12 @@ GROUP BY 1
 DUP_SUBSTR_L = 30  # minimum duplicated-run length (chars) worth deduping
 
 
-def q_dup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+DUP_SUBSTR_MAX_BYTES = 256_000_000  # ~256 MB of text; sf0.1 is ~18 MB
+
+
+def q_dup_substrings(
+    spark: SparkSession, sf_dir: str, max_bytes: int = DUP_SUBSTR_MAX_BYTES
+) -> DataFrame:
     """Exact substring-level dedup accounting (Lee et al., "Deduplicating
     Training Data Makes Language Models Better" — the ExactSubstr half;
     top_ngrams is the frequency-mining half): for every document, the
@@ -2923,9 +2928,20 @@ def q_dup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     stride as the cost levers. Reference analog: libchunk dedups identical
     chunk content via K-key identity (/root/reference/bits/chunks.go) —
     this query is the same identity idea pushed to exact character spans.
+    The guard below enforces the sf-scale-only contract the docstring
+    used to merely state (VERDICT r06 next #7), the same loud-refusal
+    policy as similarity.brute_force_pairs.
     """
     L = DUP_SUBSTR_L
     d = _docs(spark, sf_dir)
+    total = d.agg(F.sum("n_chars")).collect()[0][0] or 0  # bounded artifact
+    if total > max_bytes:
+        raise ValueError(
+            f"dup_substrings hashes one {L}-char window PER CHARACTER and "
+            f"refuses corpora over {max_bytes:,} chars ({total:,} given) — "
+            "use chunk_dup_spans, the content-defined chunk-granularity "
+            "production twin, at scale"
+        )
     # array of md5 window hashes, THEN posexplode — keeps the expensive
     # hash in its own projected column (the lambda-CSE rule: never
     # recompute an expensive expression per explode row)

@@ -104,3 +104,15 @@ def test_audit_composites_checkpoint_fed_equals_recompute(spark):
         fed = sorted(tuple(r) for r in qfn(spark, sf, components_source=comp).collect())
         ref = sorted(tuple(r) for r in qfn(spark, sf).collect())
         assert fed == ref and len(ref) > 0, qfn.__name__
+
+
+def test_dup_substrings_refuses_scale_input(spark):
+    """VERDICT r06 next #7: the per-char window hasher enforces its
+    sf-scale-only contract loudly, pointing at the chunk-granularity
+    production twin — same policy as similarity.brute_force_pairs."""
+    import pytest
+
+    with pytest.raises(ValueError, match="chunk_dup_spans"):
+        Q.q_dup_substrings(spark, SF, max_bytes=10)
+    # default threshold comfortably admits the test corpora
+    assert Q.q_dup_substrings(spark, SF).count() > 0
