@@ -86,10 +86,19 @@ def kmeans_parallel_init(
     candidate set on the driver. Returns a (k, dim) centroid matrix.
 
     Driver memory is O(l * rounds * dim) — independent of corpus size
-    (each round is additionally hard-capped at 8*l deterministically by
-    vec_id order, so a degenerate phi cannot flood the driver)."""
+    (each round is additionally hard-capped at 8*l; the cap and the
+    initial seed pick order by xxhash64(vec_id, seed) rather than raw
+    vec_id — ADVICE r06: a binding vec_id-ordered cap kept only the
+    lowest ids, biasing the d^2-sample toward low ids and always seeding
+    from the min-id vector, weakening the paper's approximation guarantee
+    in degenerate-phi cases; the hash order is an unbiased deterministic
+    subsample)."""
     l = 2 * k if oversample is None else oversample
-    first = emb.orderBy("vec_id").limit(1).collect()
+    first = (
+        emb.orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)), F.col("vec_id"))
+        .limit(1)
+        .collect()
+    )
     if not first:
         raise ValueError("kmeans_parallel_init: empty input")
     cand = [np.asarray(first[0]["embedding"], dtype=np.float64)]
@@ -105,7 +114,10 @@ def kmeans_parallel_init(
             .where(F.col("u") * phi < F.lit(float(l)) * F.col("d2"))
             .select("vec_id")
             .join(emb.select("vec_id", "embedding"), "vec_id")
-            .orderBy("vec_id")
+            .orderBy(
+                F.xxhash64(F.col("vec_id"), F.lit(seed), F.lit(r)),
+                F.col("vec_id"),
+            )
             .limit(8 * l)
             .collect()
         )

@@ -43,8 +43,18 @@ from pyspark.sql import functions as F
 # substring of >= 11 chars shares a fingerprint (collision-free hashes).
 WINNOW_K = 8  # char k-gram width
 WINNOW_W = 4  # winnowing window (in k-grams)
+# Position bits per hasher (ADVICE r06): position packs into the low bits
+# of enc, so beyond 2^POS_BITS k-grams the pos mod wraps and the
+# "rightmost minimal hash" tie-break inverts across the boundary — the
+# fingerprint VALUES (enc >> POS_BITS = the 40-bit hash) and the
+# substring-match guarantee are unaffected, only WHICH occurrence of the
+# minimal hash is recorded. md5 path: 20 bits (pinned — the DuckDB oracle
+# runs the identical 2^20 constants), robust tie-breaks up to ~1M grams
+# (~1 MB docs). xxhash64 production path: 23 bits (40+23 = 63, exactly
+# filling a signed long), ~8M grams before any wrap.
 POS_BITS = 20
-POS_MOD = 1 << POS_BITS  # position packs into the low 20 bits of enc
+POS_MOD = 1 << POS_BITS  # md5/oracle packing (pinned)
+POS_BITS_BY_HASHER = {"md5": 20, "xxhash64": 23}
 
 
 def _h40(col: Column, hasher: str = "md5") -> Column:
@@ -78,11 +88,12 @@ def winnow_encs(text: Column, k: int = WINNOW_K, hasher: str = "md5") -> Column:
     md5 calls per document (measured 145 s vs ~2 s at sf0.01 bench)."""
     if isinstance(text, str):
         text = F.col(text)
+    pos_mod = 1 << POS_BITS_BY_HASHER[hasher]
     n = F.greatest(F.length(text) - (k - 1), F.lit(1))
     return F.transform(
         F.sequence(F.lit(1), n),
-        lambda i: _h40(text.substr(i, F.lit(k)), hasher) * F.lit(POS_MOD)
-        + (F.lit(POS_MOD - 1) - F.pmod(i, F.lit(POS_MOD))),
+        lambda i: _h40(text.substr(i, F.lit(k)), hasher) * F.lit(pos_mod)
+        + (F.lit(pos_mod - 1) - F.pmod(i, F.lit(pos_mod))),
     )
 
 
@@ -143,7 +154,10 @@ def winnow_fingerprints(
             F.col(id_col),
             F.explode(winnow_from_encs(F.col("_encs"), w)).alias("enc"),
         )
-        .select(id_col, F.shiftright(F.col("enc"), POS_BITS).alias("fp"))
+        .select(
+            id_col,
+            F.shiftright(F.col("enc"), POS_BITS_BY_HASHER[hasher]).alias("fp"),
+        )
         .distinct()
     )
 
@@ -161,12 +175,19 @@ def winnow_pair_scores(
     fingerprints; score = shared / min(|A|, |B|) (containment form — a
     small file fully pasted into a big one still scores 1.0).
 
+    |A|, |B| are the UNCAPPED fingerprint-set sizes; only the JOIN side is
+    df-capped (ADVICE r06: sizing from the capped sets gave a document
+    whose fingerprints are mostly capped-out boilerplate a small
+    denominator and an inflated containment score — more false edges past
+    score_threshold). The DuckDB oracle mirrors the uncapped sizing.
+
     Scale shape: fingerprints with document frequency > df_cap are
     dropped BEFORE the self-join (boilerplate headers otherwise fan out
     quadratically); the df-cap window and both join sides reuse one
     exchange over the exploded fingerprints (final-plan-asserted in
-    tests). A single shared 11-char substring is a weak dup signal, so
-    consumers threshold on `score`, not mere co-occurrence."""
+    tests; the sizes agg is a separate cheap doc-keyed count). A single
+    shared 11-char substring is a weak dup signal, so consumers threshold
+    on `score`, not mere co-occurrence."""
     from pyspark.sql import Window
 
     fps_all = winnow_fingerprints(
@@ -177,7 +198,7 @@ def winnow_pair_scores(
         .where(F.col("df") <= df_cap)
         .drop("df")
     )
-    sizes = fps.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sizes = fps_all.groupBy(id_col).agg(F.count("*").alias("sz"))
     pairs = (
         fps.alias("l")
         .join(fps.alias("r"), "fp")

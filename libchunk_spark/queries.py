@@ -1994,7 +1994,9 @@ capped AS (
   SELECT doc_id, fp FROM fps
   QUALIFY count(*) OVER (PARTITION BY fp) <= {WINNOW_DF_CAP}
 ),
-sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY 1),
+-- sizes from the UNCAPPED sets (ADVICE r06): capped-out boilerplate must
+-- not shrink a doc's denominator and inflate its containment score
+sizes AS (SELECT doc_id, count(*) AS sz FROM fps GROUP BY 1),
 pairs AS (
   SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS shared
   FROM capped l JOIN capped r ON l.fp = r.fp AND l.doc_id < r.doc_id

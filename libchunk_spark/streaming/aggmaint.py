@@ -74,28 +74,28 @@ def _word5_gram_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     )
 
 
-def _base_uptos(state_dir: str) -> list[int]:
-    root = os.path.join(state_dir, "base")
+def _committed(root: str, pattern: str) -> list[int]:
+    """Partition ids under root whose directory carries Spark's _SUCCESS
+    marker — an in-flight or crashed write is INVISIBLE to readers
+    (ADVICE r06: treating any upto=/batch= directory as committed let a
+    reader racing a compaction pick a half-written base as newest and
+    fail or undercount until the replay repaired it)."""
     if not os.path.isdir(root):
         return []
     out = []
     for d in os.listdir(root):
-        m = re.fullmatch(r"upto=(\d+)", d)
-        if m:
+        m = re.fullmatch(pattern, d)
+        if m and os.path.exists(os.path.join(root, d, "_SUCCESS")):
             out.append(int(m.group(1)))
     return sorted(out)
+
+
+def _base_uptos(state_dir: str) -> list[int]:
+    return _committed(os.path.join(state_dir, "base"), r"upto=(\d+)")
 
 
 def _delta_batches(state_dir: str) -> list[int]:
-    root = os.path.join(state_dir, "deltas")
-    if not os.path.isdir(root):
-        return []
-    out = []
-    for d in os.listdir(root):
-        m = re.fullmatch(r"batch=(\d+)", d)
-        if m:
-            out.append(int(m.group(1)))
-    return sorted(out)
+    return _committed(os.path.join(state_dir, "deltas"), r"batch=(\d+)")
 
 
 def _totals(spark: SparkSession, state_dir: str) -> DataFrame | None:

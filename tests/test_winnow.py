@@ -160,8 +160,13 @@ def test_winnow_xxhash64_selection_matches_reference_windowing(spark):
         for j in range(min(WINNOW_W, m), m + 1):
             want.add(min(encs[max(j - WINNOW_W, 0) : j]))
         assert set(r["sel"]) == want, f"doc {r['doc_id']}"
-        # packing invariant: every enc is a non-negative 60-bit long
-        assert all(0 <= e < 1 << 60 for e in encs)
+        # packing invariant: 40-bit hash + 23 position bits (ADVICE r06
+        # widened the xxhash64 path's POS_BITS) fill a signed long exactly
+        from libchunk_spark.operators.winnow import POS_BITS_BY_HASHER
+
+        bits = 40 + POS_BITS_BY_HASHER["xxhash64"]
+        assert bits <= 63
+        assert all(0 <= e < 1 << bits for e in encs)
 
 
 def test_winnow_xxhash64_guarantee_on_planted_pair(spark):
