@@ -74,6 +74,76 @@ def stub_embed(passages: DataFrame, dim: int) -> DataFrame:
     )
 
 
+def fold_new_shas_into_index(
+    spark,
+    state_dir: str,
+    index_path: str,
+    embed_fn: Callable[[DataFrame, int], DataFrame] = stub_embed,
+    dim: int = 64,
+    build_kwargs: dict | None = None,
+) -> dict:
+    """Consume the streaming passage maintainer's first-seen sha work
+    lists (streaming/aggmaint.py::start_passage_maintenance writes
+    new_shas/batch=<id>) and fold each unprocessed batch into the
+    persisted IVFADC index — the scheduled half of the embedding loop
+    (run it after each trigger or on a cadence).
+
+    Idempotence (the replay discipline extend_ivfpq_index's docstring
+    demands of callers): a ledger sidecar (folded_batches.json, atomic
+    tmp+rename) records which batch ids already extended the index, so
+    re-running after a crash or an at-least-once replay skips them; only
+    new_shas partitions carrying _SUCCESS are considered, so a fold can
+    never race a half-written work list. The one crash window — extend
+    committed, ledger write lost — re-appends that batch's rows on the
+    next run, which is CORRECTNESS-benign: index_topk dedups candidates
+    (dropDuplicates on (q, cand) and on rerank vec_ids), so duplicates
+    cost only storage until the next rebuild.
+
+    First call (no meta.json yet) BUILDS the index from the first work
+    list; later calls extend under the frozen quantizer. Returns
+    {"folded_batches": [...], "n_added": int}.
+    """
+    import json
+    import os
+
+    from libchunk_spark.operators.ann_index import build_ivfpq_index
+    from libchunk_spark.streaming.aggmaint import _committed
+
+    ledger_path = os.path.join(index_path, "folded_batches.json")
+    done: set[int] = set()
+    if os.path.exists(ledger_path):
+        with open(ledger_path) as f:
+            done = set(json.load(f))
+    new_root = os.path.join(state_dir, "new_shas")
+    todo = [b for b in _committed(new_root, r"batch=(\d+)") if b not in done]
+    meta_path = os.path.join(index_path, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            dim = json.load(f)["dim"]
+
+    folded: list[int] = []
+    n_added = 0
+    for b in todo:
+        shas = spark.read.parquet(os.path.join(new_root, f"batch={b}")).select(
+            "passage_sha"
+        )
+        emb = embed_fn(shas, dim)
+        n = emb.count()
+        if n:
+            if not os.path.exists(meta_path):
+                build_ivfpq_index(emb, index_path, **(build_kwargs or {}))
+            else:
+                extend_ivfpq_index(emb, index_path)
+        done.add(b)
+        folded.append(b)
+        n_added += n
+        tmp = ledger_path + ".tmp"  # ledger advances after EVERY batch
+        with open(tmp, "w") as f:
+            json.dump(sorted(done), f)
+        os.replace(tmp, ledger_path)
+    return {"folded_batches": folded, "n_added": int(n_added)}
+
+
 def maintain_index(
     old_docs: DataFrame,
     new_docs: DataFrame,

@@ -321,3 +321,93 @@ def test_passage_index_probe_prunes_sbuckets(spark, tmp_path):
     assert "PartitionFilters" in plan and "sbucket" in plan, plan
     got = probe.join(hist, "passage_sha", "left_anti").count()
     assert got == 0  # every probe sha already indexed
+
+
+def test_fold_new_shas_into_index_idempotent(spark, tmp_path):
+    """The scheduled half of the embedding loop: fold the passage
+    maintainer's first-seen work lists into the persisted IVFADC index —
+    first call builds, later calls extend, the ledger makes re-runs
+    no-ops, and index coverage equals exactly the distinct corpus shas
+    (each embedded once)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from libchunk_spark.operators.embmaint import (
+        fold_new_shas_into_index,
+        sha_vec_id,
+        stub_embed,
+    )
+    from libchunk_spark.streaming.aggmaint import (
+        read_new_shas,
+        start_passage_maintenance,
+    )
+
+    src = str(tmp_path / "incoming")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "idx")
+    os.makedirs(src)
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{(0 if i % 4 == 0 else i)}_{j}" for j in range(150)),
+             f"src{i % 3}")
+            for i in range(24)
+        ],
+        "doc_id long, text string, source string",
+    )
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/part{i}")
+    start_passage_maintenance(spark, f"{src}/*", state, ckpt).awaitTermination(180)
+
+    kw = dict(m=4, n_codes=8, n_cells=2)
+    res = fold_new_shas_into_index(
+        spark, state, idx, dim=16, build_kwargs=kw
+    )
+    new = read_new_shas(spark, state)
+    assert res["n_added"] == new.count() > 0
+    assert len(res["folded_batches"]) >= 2  # maxFilesPerTrigger=1 -> >=3 batches
+
+    # coverage: the index holds EXACTLY the first-seen shas' vec ids —
+    # each at most once per cell (index_probe=2 soft assignment multi-
+    # assigns ACROSS cells by design; a duplicate append would repeat a
+    # (vec_id, cell) pair)
+    want_ids = sorted(
+        r[0] for r in new.select(sha_vec_id(F.col("passage_sha"))).collect()
+    )
+    codes = spark.read.parquet(os.path.join(idx, "codes"))
+    assert (
+        sorted(r["vec_id"] for r in codes.select("vec_id").distinct().collect())
+        == want_ids
+    )
+    assert codes.groupBy("vec_id", "cell").count().where("count > 1").count() == 0
+
+    # replay safety: a second fold is a no-op
+    n_rows = codes.count()
+    res2 = fold_new_shas_into_index(spark, state, idx, dim=16, build_kwargs=kw)
+    assert res2 == {"folded_batches": [], "n_added": 0}
+    assert spark.read.parquet(os.path.join(idx, "codes")).count() == n_rows
+
+    # new stream data -> only the new batch folds, under the frozen arrays
+    docs2 = spark.createDataFrame(
+        [(900 + i, " ".join(f"z{i}_{j}" for j in range(120)), "srcZ")
+         for i in range(4)],
+        "doc_id long, text string, source string",
+    )
+    docs2.coalesce(1).write.mode("overwrite").parquet(f"{src}/part_new")
+    start_passage_maintenance(spark, f"{src}/*", state, ckpt).awaitTermination(180)
+    res3 = fold_new_shas_into_index(spark, state, idx, dim=16, build_kwargs=kw)
+    assert res3["n_added"] > 0 and len(res3["folded_batches"]) >= 1
+    n_all = read_new_shas(spark, state).count()
+    assert spark.read.parquet(os.path.join(idx, "codes")).select(
+        "vec_id"
+    ).distinct().count() == n_all
+    # the folded vectors are retrievable end-to-end
+    from libchunk_spark.operators.ann_index import index_topk
+
+    q = stub_embed(
+        read_new_shas(spark, state).select("passage_sha").limit(3), 16
+    )
+    assert index_topk(spark, idx, q, k=3).count() > 0
