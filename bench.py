@@ -141,6 +141,10 @@ def main() -> None:
         "bm25_top_docs",
         "passage_windows",
         "chunk_dup_spans",
+        "band_skew_report",
+        "minhash_calibration",
+        "minhash_calibration_prod",
+        "passage_delta",
     ]
 
     # --- synthetic source-code corpus for the pipeline phases (built once,
