@@ -145,6 +145,9 @@ def main() -> None:
         "minhash_calibration",
         "minhash_calibration_prod",
         "passage_delta",
+        "weighted_jaccard_pairs",
+        "wminhash_calibration",
+        "rename_candidates",
     ]
 
     # --- synthetic source-code corpus for the pipeline phases (built once,

@@ -136,3 +136,86 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     inter = np.intersect1d(a, b, assume_unique=True).size
     union = a.size + b.size - inter
     return inter / union if union else 1.0
+
+
+# ---------------------------------------------------------------- ICWS
+# Improved Consistent Weighted Sampling (Ioffe, ICDM 2010): the weighted-
+# MinHash generalization — K independent samples (x*, t*) per weighted set
+# with P[sample_A == sample_B] = sum_x min(wA, wB) / sum_x max(wA, wB),
+# the weighted (multiset) Jaccard. Used for tf-weighted document
+# similarity where plain set MinHash throws away term frequency.
+#
+# All randomness is DERIVED (no stored parameter tables): per (element,
+# sample k) the five uniforms come from splitmix64 avalanches of the
+# element's 64-bit hash mixed with k- and slot-salted constants, so both
+# the Spark UDF and the pure-Python estimator guard share the exact
+# construction from the seed alone. Per the repo's hard-won rule (the r6
+# mod-2^61 defect), a DERIVED family must be validated by measurement,
+# not construction-sharing: tests/test_recall.py pins est-vs-exact
+# weighted-Jaccard mae on planted pairs, and queries.py registers the
+# wminhash_calibration driver contract.
+
+_ICWS_SLOT_SALTS = (
+    0x9E3779B97F4A7C15,  # u1 (gamma r)
+    0xC2B2AE3D27D4EB4F,  # u2 (gamma r)
+    0x165667B19E3779F9,  # u3 (gamma c)
+    0x27D4EB2F165667C5,  # u4 (gamma c)
+    0x85EBCA77C2B2AE63,  # u5 (beta)
+)
+
+
+def _icws_uniforms(th: np.ndarray, ks: np.ndarray, slot: int) -> np.ndarray:
+    """(n, K) uniforms in (0, 1), deterministic per (element-hash, k, slot).
+
+    53-bit mantissa draw with a +0.5 offset so u is never exactly 0
+    (log-safe) or 1."""
+    salt = np.uint64(_ICWS_SLOT_SALTS[slot])
+    x = _mix64(th[:, None] ^ _mix64(ks[None, :] ^ salt))
+    return ((x >> np.uint64(11)).astype(np.float64) + 0.5) / float(1 << 53)
+
+
+def icws_samples(
+    th: np.ndarray, weights: np.ndarray, num_samples: int, seed: int
+) -> np.ndarray:
+    """K packed ICWS samples (int64) of one weighted set.
+
+    th       -- uint64 element hashes (e.g. xxhash64 of the token);
+    weights  -- positive float/int weights aligned with th (e.g. tf).
+
+    Per sample k and element x (Ioffe 2010, Algorithm 1):
+      r_x ~ Gamma(2,1) = -ln(u1 u2),  c_x ~ Gamma(2,1),  b_x ~ U(0,1)
+      t_x = floor(ln w_x / r_x + b_x)
+      y_x = exp(r_x (t_x - b_x));   a_x = c_x / (y_x exp(r_x))
+      sample_k = (x*, t_{x*}) for x* = argmin a_x
+    The (element, t) pair is packed into one int64 via splitmix64 mixing —
+    collision probability ~2^-64 per comparison, negligible against the
+    estimator's 1/sqrt(K) noise. Empty sets return all-(-1) sentinels.
+    """
+    k = int(num_samples)
+    if th.size == 0:
+        return np.full(k, -1, dtype=np.int64)
+    th = th.astype(np.uint64)
+    ks = _mix64(
+        np.arange(k, dtype=np.uint64)
+        ^ np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))
+    )
+    u1 = _icws_uniforms(th, ks, 0)
+    u2 = _icws_uniforms(th, ks, 1)
+    r = -np.log(u1) - np.log(u2)
+    u3 = _icws_uniforms(th, ks, 2)
+    u4 = _icws_uniforms(th, ks, 3)
+    c = -np.log(u3) - np.log(u4)
+    beta = _icws_uniforms(th, ks, 4)
+    lw = np.log(weights.astype(np.float64))[:, None]
+    t = np.floor(lw / r + beta)
+    # ln y = r (t - beta); ln a = ln c - ln y - r  (log-space: y overflows
+    # float64 for |t| beyond ~700/r, and argmin only needs the order)
+    ln_a = np.log(c) - r * (t - beta) - r
+    idx = np.argmin(ln_a, axis=0)
+    cols = np.arange(k)
+    t_star = t[idx, cols]
+    # pack (element hash, integer t) -> int64; t is salted through the
+    # mixer so (x, t) and (x, t') never collide in practice
+    t_bits = t_star.astype(np.int64).view(np.uint64)
+    packed = _mix64(th[idx] ^ _mix64(t_bits ^ np.uint64(0xA0761D6478BD642F)))
+    return packed.view(np.int64)

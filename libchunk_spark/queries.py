@@ -3690,6 +3690,366 @@ FROM documents
 """
 
 
+# ------------------------------------------------- weighted (multiset) ops
+
+WJAC_DF_CAP = 64  # gram document-frequency cap (same role as NGRAM_DF_CAP)
+WJAC_THRESHOLD = 0.4
+
+
+def _grams3_all():
+    """word 3-gram array WITH repeats (the multiset _grams3 distincts)"""
+    t = _tokens()
+    return F.when(
+        F.size(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 3),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _tf_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tok, tf) 3-gram occurrence counts restricted to grams
+    appearing in <= WJAC_DF_CAP documents.
+
+    The weighted space is the word-3-GRAM multiset, not raw tokens: a
+    document-frequency cap on single words stops working as the corpus
+    grows (every word's df scales with corpus size, so at sf0.1 virtually
+    all tokens cap out and the pair set collapses to empty — measured),
+    while a content-bearing gram's df tracks its duplicate family, the
+    same scale argument q_ngram_jaccard_pairs already rides. The df cap
+    is a window count over the gram partition so the gram explosion is
+    exchanged ONCE and the downstream self-join reuses it."""
+    from pyspark.sql import Window
+
+    tf = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(_grams3_all()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("tok")))
+        .where(F.col("df") <= WJAC_DF_CAP)
+        .drop("df")
+    )
+
+
+def _weighted_pair_scores(tf: DataFrame) -> DataFrame:
+    """(a, b, na, nb, wmin, wjac) multiset-Jaccard scores over co-token
+    pairs of a (doc_id, tok, tf) table: wjac = sum(min tf)/sum(max tf),
+    with sum(max) = na + nb - sum(min) so only the intersection joins."""
+    sizes = tf.groupBy("doc_id").agg(F.sum("tf").alias("sz"))
+    l, r = tf.alias("l"), tf.alias("r")
+    inter = (
+        l.join(r, "tok")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.sum(F.least("l.tf", "r.tf")).alias("wmin"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("nb")), "b")
+        .withColumn(
+            "wjac",
+            F.round(
+                F.col("wmin") / (F.col("na") + F.col("nb") - F.col("wmin")), 4
+            ),
+        )
+    )
+
+
+def q_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (multiset) Jaccard pairs >= threshold over word-3-gram
+    occurrence counts: J_w = sum_g min(tf_a, tf_b) / sum_g max(tf_a, tf_b),
+    restricted to grams with document frequency <= WJAC_DF_CAP (identical
+    restriction in the oracle). q_ngram_jaccard_pairs treats a gram seen
+    once and fifty times identically; the weighted form is the standard
+    refinement for repetition-aware near-dup scoring (code files repeat
+    boilerplate lines), and it is the exact quantity the ICWS sketch of
+    wminhash_calibration estimates.
+
+    Scale shape: identical cost envelope to q_ngram_jaccard_pairs — the df
+    cap bounds every gram's fan-out before the self-join, sum(max) is
+    derived from per-doc sizes so only the intersection shuffles, and the
+    capped tf table's exchange is reused by both join sides."""
+    return (
+        _weighted_pair_scores(_tf_capped(spark, sf_dir))
+        .where(F.col("wjac") >= WJAC_THRESHOLD)
+        .select("a", "b", "wjac")
+    )
+
+
+_SQL_GRAM_OCCURRENCES = """
+    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS tok
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+"""
+
+_SQL_TF_CAPPED = f"""
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM ({_SQL_GRAM_OCCURRENCES}) u
+  GROUP BY doc_id, tok
+  HAVING tok IN (
+    SELECT tok
+    FROM (SELECT DISTINCT doc_id, tok FROM ({_SQL_GRAM_OCCURRENCES}) v) w
+    GROUP BY tok HAVING count(*) <= {WJAC_DF_CAP})
+"""
+
+SQL_WEIGHTED_JACCARD_PAIRS = f"""
+WITH tf AS ({_SQL_TF_CAPPED}),
+sizes AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS sz FROM tf GROUP BY 1),
+inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b,
+         CAST(sum(least(l.tf, r.tf)) AS BIGINT) AS wmin
+  FROM tf l JOIN tf r ON l.tok = r.tok AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b,
+       round(wmin / CAST(na.sz + nb.sz - wmin AS DOUBLE), 4) AS wjac
+FROM inter
+JOIN sizes na ON na.doc_id = a
+JOIN sizes nb ON nb.doc_id = b
+WHERE round(wmin / CAST(na.sz + nb.sz - wmin AS DOUBLE), 4) >= {WJAC_THRESHOLD}
+"""
+
+
+# ICWS contract bounds — ~2x margin over measured values at BOTH scales
+# (sf0.01: n=29 pairs, mae 0.0199, maxerr 0.0375, bias -0.0001;
+#  sf0.1:  n=589,      mae 0.0271, maxerr 0.1319, bias +0.0008)
+ICWS_K = 32
+ICWS_SEED = 0x1C3517
+ICWS_CAL_MIN = 0.05  # calibration pair floor on exact wjac
+ICWS_MIN_PAIRS = 10
+ICWS_MAE_MAX = 0.05
+ICWS_MAXERR_MAX = 0.25
+ICWS_BIAS_BAND = 0.03
+
+
+def q_wminhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration contract for the ICWS weighted-MinHash sketch (Ioffe
+    2010): over the co-token pairs with exact weighted Jaccard >=
+    ICWS_CAL_MIN, compare the sketch estimate (fraction of agreeing
+    packed samples, K=32) against the exact multiset Jaccard of the SAME
+    df-capped tf sets, and emit the recall-floor-style contract row:
+    n_docs (SQL-anchored) + n_pairs_ok / mae_ok / maxerr_ok / bias_ok.
+
+    Discipline note (hard-won, r6): the sketch's randomness is DERIVED
+    from splitmix64 mixing, so a shared-construction oracle would be
+    blind to a degenerate family — this contract measures est against an
+    exact quantity computed by independent arithmetic, and
+    tests/test_recall.py adds pure-Python planted-pair mae bounds plus a
+    sample-diversity guard (the r6 defect class — all samples collapsing
+    to one effective permutation — reads est ~ 1.0 here and fails mae_ok).
+
+    Scale: the token hashing (xxhash64) is JVM-side; the ICWS argmin is
+    one Arrow-batched pandas UDF over per-doc (hash, tf) arrays — map-only
+    after the tf aggregation; the exact side is the bounded df-capped
+    token self-join shared with q_weighted_jaccard_pairs."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from libchunk_spark.functions.signatures import icws_samples
+
+    tf = _tf_capped(spark, sf_dir)
+    grouped = (
+        tf.select("doc_id", F.xxhash64("tok").alias("th"), "tf")
+        .groupBy("doc_id")
+        .agg(F.collect_list("th").alias("ths"), F.collect_list("tf").alias("tfs"))
+    )
+
+    def _icws_fn(ths, tfs):
+        import numpy as np
+
+        return pd.Series(
+            [
+                icws_samples(
+                    np.asarray(h, dtype=np.int64).view(np.uint64),
+                    np.asarray(w, dtype=np.float64),
+                    ICWS_K,
+                    ICWS_SEED,
+                )
+                for h, w in zip(ths, tfs)
+            ]
+        )
+
+    # real annotation objects: the module's `from __future__ import
+    # annotations` would stringify inline hints, and PySpark resolves
+    # string hints against module globals where pd is not imported
+    _icws_fn.__annotations__ = {
+        "ths": pd.Series, "tfs": pd.Series, "return": pd.Series,
+    }
+    icws_udf = pandas_udf(_icws_fn, "array<long>")
+
+    sam = grouped.select("doc_id", icws_udf("ths", "tfs").alias("s"))
+    pairs = (
+        _weighted_pair_scores(tf)
+        .where(F.col("wjac") >= ICWS_CAL_MIN)
+        .select("a", "b", "wjac")
+    )
+    agree = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        pairs.join(sam.select(F.col("doc_id").alias("a"), F.col("s").alias("sa")), "a")
+        .join(sam.select(F.col("doc_id").alias("b"), F.col("s").alias("sb")), "b")
+        .select((agree / F.lit(ICWS_K)).alias("est"), "wjac")
+    )
+    agg = scored.agg(
+        F.count("*").alias("n_pairs"),
+        F.avg(F.abs(F.col("est") - F.col("wjac"))).alias("mae"),
+        F.max(F.abs(F.col("est") - F.col("wjac"))).alias("maxerr"),
+        F.avg(F.col("est") - F.col("wjac")).alias("bias"),
+    )
+    return (
+        _docs(spark, sf_dir)
+        .agg(F.count("*").alias("n_docs"))
+        .crossJoin(agg)
+        .select(
+            "n_docs",
+            (F.col("n_pairs") >= ICWS_MIN_PAIRS).alias("n_pairs_ok"),
+            (F.col("mae") <= ICWS_MAE_MAX).alias("mae_ok"),
+            (F.col("maxerr") <= ICWS_MAXERR_MAX).alias("maxerr_ok"),
+            (F.abs(F.col("bias")) <= ICWS_BIAS_BAND).alias("bias_ok"),
+        )
+    )
+
+
+SQL_WMINHASH_CALIBRATION = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       true AS n_pairs_ok, true AS mae_ok, true AS maxerr_ok, true AS bias_ok
+FROM documents
+"""
+
+
+# ----------------------------------------------------- rename detection
+
+RENAME_SIM_THRESHOLD = 0.3  # edited-rename floor (3-gram Jaccard, git -M)
+
+
+def q_rename_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Git-style rename/move detection between two corpus snapshots:
+    odd doc_ids stand in for paths present only in the OLD snapshot
+    (deleted), even doc_ids for paths present only in the NEW one (added)
+    — the same deterministic snapshot convention as q_passage_delta.
+    A deleted/added pair with identical content sha256 is an exact rename
+    (git's -M100); a pair with df-capped 3-gram Jaccard >= threshold and
+    DIFFERENT shas is an edited rename (git's similarity detection, with
+    the repo's gram machinery instead of git's line-hash heuristic).
+    Output: (old_id, new_id, kind, sim), sim = 1.0 for exact.
+
+    operators/renames.py carries the production form over the (repo,
+    path, commit, content) corpus shape — path-set anti-joins, winnowed
+    fingerprints for the fuzzy tier; this query is its oracle-checked
+    documents-table twin. The exact tier is corpus-truth-dependent: the
+    sf0.01 documents table has NO exact dup groups at all, so the tier is
+    empty there (the union stays non-empty via 'edited'); at sf0.1 it
+    yields 4 pairs, and the operator pytest plants exact renames so the
+    tier never ships on emptiness.
+
+    Scale shape: the exact tier joins on sha256 (skew-free crypto keys);
+    the fuzzy tier reuses the df-capped gram self-join envelope of
+    q_ngram_jaccard_pairs, restricted old-side x new-side."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", F.sha2(F.encode("text", "UTF-8"), 256).alias("sha")
+    )
+    old = docs.where(F.col("doc_id") % 2 == 1)
+    new = docs.where(F.col("doc_id") % 2 == 0)
+    exact = (
+        old.select(F.col("doc_id").alias("old_id"), "sha")
+        .join(new.select(F.col("doc_id").alias("new_id"), "sha"), "sha")
+        .select(
+            "old_id",
+            "new_id",
+            F.lit("exact").alias("kind"),
+            F.lit(1.0).alias("sim"),
+        )
+    )
+    grams_all = docs.select(
+        "doc_id", "sha", F.explode(_grams3()).alias("gram")
+    )
+    grams = (
+        grams_all.withColumn(
+            "df", F.count("*").over(Window.partitionBy("gram"))
+        )
+        .where(F.col("df") <= NGRAM_DF_CAP)
+        .drop("df")
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    go = grams.where(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("old_id"), F.col("sha").alias("osha"), "gram"
+    )
+    ga = grams.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("new_id"), F.col("sha").alias("nsha"), "gram"
+    )
+    inter = (
+        go.join(ga, "gram")
+        .where(F.col("osha") != F.col("nsha"))
+        .groupBy("old_id", "new_id")
+        .agg(F.count("*").alias("i"))
+    )
+    edited = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("old_id"), F.col("sz").alias("na")),
+            "old_id",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("new_id"), F.col("sz").alias("nb")),
+            "new_id",
+        )
+        .withColumn(
+            "sim",
+            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4),
+        )
+        .where(F.col("sim") >= RENAME_SIM_THRESHOLD)
+        .select("old_id", "new_id", F.lit("edited").alias("kind"), "sim")
+    )
+    return exact.unionAll(edited)
+
+
+SQL_RENAME_CANDIDATES = f"""
+WITH docs AS (
+  SELECT doc_id, text, sha256(text) AS sha FROM documents
+),
+exact AS (
+  SELECT o.doc_id AS old_id, n.doc_id AS new_id,
+         'exact' AS kind, CAST(1.0 AS DOUBLE) AS sim
+  FROM docs o JOIN docs n ON o.sha = n.sha
+  WHERE o.doc_id % 2 = 1 AND n.doc_id % 2 = 0
+),
+grams_all AS (
+  SELECT g.doc_id, d.sha, g.gram
+  FROM ({_SQL_GRAMS3}) g JOIN docs d ON d.doc_id = g.doc_id
+),
+grams AS (
+  SELECT doc_id, sha, gram FROM grams_all
+  WHERE gram IN (SELECT gram FROM grams_all GROUP BY gram
+                 HAVING count(*) <= {NGRAM_DF_CAP})
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+inter AS (
+  SELECT o.doc_id AS old_id, n.doc_id AS new_id, count(*) AS i
+  FROM grams o JOIN grams n ON o.gram = n.gram
+  WHERE o.doc_id % 2 = 1 AND n.doc_id % 2 = 0 AND o.sha != n.sha
+  GROUP BY 1, 2
+),
+edited AS (
+  SELECT old_id, new_id, 'edited' AS kind,
+         round(i / CAST(na.sz + nb.sz - i AS DOUBLE), 4) AS sim
+  FROM inter
+  JOIN sizes na ON na.doc_id = old_id
+  JOIN sizes nb ON nb.doc_id = new_id
+  WHERE round(i / CAST(na.sz + nb.sz - i AS DOUBLE), 4)
+        >= {RENAME_SIM_THRESHOLD}
+)
+SELECT * FROM exact UNION ALL SELECT * FROM edited
+"""
+
+
 # Registry order is load-bearing: the driver's correctness gate checks the
 # FIRST 50 entries in insertion order (CORRECTNESS_r06 stopped at exactly
 # dict position 50, leaving the 20 newest queries ungated — VERDICT r06
@@ -3728,11 +4088,14 @@ QUERIES = {
     # bound invariants are — value-checked contracts (VERDICT r02 item 4)
     "chunk_stats": (q_chunk_stats, SQL_CHUNK_STATS),
     "dedup_ratio": (q_dedup_ratio, SQL_DEDUP_RATIO),
-    "event_asof_attribution": (
-        q_event_asof_attribution, SQL_EVENT_ASOF_ATTRIBUTION,
+    # -- NEW round 7 (inside the gated window; three r06-green queries
+    # rotated to the tail in their place per the rotation policy below) --
+    "weighted_jaccard_pairs": (
+        q_weighted_jaccard_pairs, SQL_WEIGHTED_JACCARD_PAIRS,
     ),
-    "event_range_counts": (q_event_range_counts, SQL_EVENT_RANGE_COUNTS),
-    "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
+    # contract oracle (n_docs anchor + verdicts), like minhash_calibration_prod
+    "wminhash_calibration": (q_wminhash_calibration, SQL_WMINHASH_CALIBRATION),
+    "rename_candidates": (q_rename_candidates, SQL_RENAME_CANDIDATES),
     "salted_skew_agg": (q_salted_skew_agg, SQL_SALTED_SKEW_AGG),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
@@ -3771,6 +4134,11 @@ QUERIES = {
     # ---------------- driver-gate window boundary (50) ----------------
     # Tail: >= 1 prior driver-green row (CORRECTNESS_r01..r06) + pytest +
     # the all-registry DuckDB parity test. Rotate back in when touched.
+    "event_asof_attribution": (
+        q_event_asof_attribution, SQL_EVENT_ASOF_ATTRIBUTION,
+    ),
+    "event_range_counts": (q_event_range_counts, SQL_EVENT_RANGE_COUNTS),
+    "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
