@@ -148,6 +148,7 @@ def main() -> None:
         "weighted_jaccard_pairs",
         "wminhash_calibration",
         "rename_candidates",
+        "clone_type1_groups",
     ]
 
     # --- synthetic source-code corpus for the pipeline phases (built once,

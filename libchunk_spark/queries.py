@@ -3924,6 +3924,55 @@ FROM documents
 """
 
 
+def q_clone_type1_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-1 code-clone groups: exact copies modulo layout — line
+    comments stripped ((//|#) to end of line, the corpus's two comment
+    styles), whitespace runs collapsed to one space, ends trimmed; groups
+    = sha256 of the normalized text. The classic clone taxonomy's first
+    tier (Type-2 = + identifier renames, q_clone_type2_groups; Type-3 =
+    + edits, winnow/edit_sim ladder). Catches reformatted copies that
+    byte-exact sha dedup misses — the most common clone class in
+    vendored/reformatted code.
+
+    Scale: map-only normalization (two JVM regex passes, whole-stage
+    codegen) + the crypto-key group window — exact_dup_groups' shuffle
+    discipline. Explicit char classes ([ \\t\\r\\n]) instead of \\s so the
+    Java and RE2 engines agree byte-for-byte."""
+    from pyspark.sql import Window
+
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace("text", r"(//|#)[^\n]*", ""),
+            r"[ \t\r\n]+",
+            " ",
+        )
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.sha2(F.encode(canon, "UTF-8"), 256).alias("canon_sha"))
+        .withColumn(
+            "group_size",
+            F.count("*").over(Window.partitionBy("canon_sha")).cast("long"),
+        )
+        .withColumn("is_clone", F.col("group_size") > 1)
+    )
+
+
+SQL_CLONE_TYPE1_GROUPS = """
+WITH canon AS (
+  SELECT doc_id,
+         sha256(trim(regexp_replace(regexp_replace(text,
+                '(//|#)[^\\n]*', '', 'g'), '[ \\t\\r\\n]+', ' ', 'g')))
+           AS canon_sha
+  FROM documents
+)
+SELECT doc_id, canon_sha,
+       count(*) OVER (PARTITION BY canon_sha) AS group_size,
+       count(*) OVER (PARTITION BY canon_sha) > 1 AS is_clone
+FROM canon
+"""
+
+
 # ----------------------------------------------------- rename detection
 
 RENAME_SIM_THRESHOLD = 0.3  # edited-rename floor (3-gram Jaccard, git -M)
@@ -4096,7 +4145,7 @@ QUERIES = {
     # contract oracle (n_docs anchor + verdicts), like minhash_calibration_prod
     "wminhash_calibration": (q_wminhash_calibration, SQL_WMINHASH_CALIBRATION),
     "rename_candidates": (q_rename_candidates, SQL_RENAME_CANDIDATES),
-    "salted_skew_agg": (q_salted_skew_agg, SQL_SALTED_SKEW_AGG),
+    "clone_type1_groups": (q_clone_type1_groups, SQL_CLONE_TYPE1_GROUPS),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
     # implementation de-quadratized round 7 — must stay driver-gated
@@ -4139,6 +4188,7 @@ QUERIES = {
     ),
     "event_range_counts": (q_event_range_counts, SQL_EVENT_RANGE_COUNTS),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
+    "salted_skew_agg": (q_salted_skew_agg, SQL_SALTED_SKEW_AGG),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
