@@ -172,3 +172,46 @@ def test_pure_rename_not_double_reported_as_edited(result):
     for r in result["rows"]:
         if r.kind == "edited":
             assert (r.repo, r.old_path) not in exact_endpoints
+
+
+def test_rename_scan_cli_smoke(spark, tmp_path, monkeypatch, capsys):
+    """jobs/rename_scan.py end-to-end on the planted snapshots: the JSON
+    summary and the output parquet must carry exactly the planted pairs."""
+    import json
+    import sys
+
+    import pandas as pd
+
+    old, new, planted_pure, planted_edit, *_ = _snapshots()
+    for name, rows in (("old", old), ("new", new)):
+        pd.DataFrame(
+            {
+                "repo": [r.repo for r in rows],
+                "path": [r.path for r in rows],
+                "content": [r.content for r in rows],
+            }
+        ).to_parquet(str(tmp_path / f"{name}.parquet"))
+    sys.path.insert(0, "/root/repo/jobs")
+    import rename_scan
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "rename_scan.py",
+            "--old-snapshot", str(tmp_path / "old.parquet"),
+            "--new-snapshot", str(tmp_path / "new.parquet"),
+            "--out", str(tmp_path / "pairs"),
+        ],
+    )
+    assert rename_scan.main() == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["pairs"] == {"exact": 8, "edited": 8}
+    back = spark.read.parquet(str(tmp_path / "pairs"))
+    found = {
+        (r.repo, r.old_path, r.new_path, r.kind) for r in back.collect()
+    }
+    expect = {(a, b, c, "exact") for a, b, c in planted_pure} | {
+        (a, b, c, "edited") for a, b, c in planted_edit
+    }
+    assert found == expect
