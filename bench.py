@@ -149,6 +149,7 @@ def main() -> None:
         "wminhash_calibration",
         "rename_candidates",
         "clone_type1_groups",
+        "ctph_contract",
     ]
 
     # --- synthetic source-code corpus for the pipeline phases (built once,

@@ -3973,6 +3973,112 @@ FROM canon
 """
 
 
+# CTPH contract bounds: sf0.01 measured values recorded in the docstring
+CTPH_MIN_PAIRS = 5
+CTPH_MIN_SIM = 0.5
+
+
+def q_ctph_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract row for the CTPH (ssdeep-style) fuzzy digests
+    (operators/ctph.py): digests built from the production chunk config's
+    K-keys over the documents corpus, pairs scored at min_sim=0.5. The
+    chunker is not SQL-expressible, so like chunk_stats /
+    minhash_calibration_prod the oracle anchors n_docs and the verdicts
+    are Spark-computed invariants:
+
+    * n_pairs_ok   — the corpus's planted near-dup families produce at
+                     least CTPH_MIN_PAIRS digest pairs;
+    * sim_bounds_ok— every reported sim in [min_sim, 1];
+    * digest_ok    — every digest <= CTPH_MAX_CODES chars of base64url;
+    * exact_ok     — every byte-identical file pair (equal content sha)
+                     that meets the ngram precondition scores sim = 1.0
+                     (identical bytes => identical chunk sequence; the
+                     round-trip invariant lifted to digests).
+
+    Scale: digests come from ONE group-by over the existing chunk table
+    (order as data); candidates join on df-capped digest 7-grams; scoring
+    is levenshtein over <= 128-char strings. tests/test_ctph.py adds the
+    planted local-edit robustness checks (CDC re-sync keeps digest
+    similarity high under small splices)."""
+    from libchunk_spark.config import DOCS_CONFIG
+    from libchunk_spark.fixtures import documents_as_corpus
+    from libchunk_spark.operators.ctph import (
+        CTPH_MAX_CODES,
+        ctph_digests,
+        ctph_pairs,
+    )
+
+    # digest granularity proportional to the corpus: the sf documents are
+    # ~0.5 KB toys, so the fine shingle config (~80 B pieces -> ~6-code
+    # digests) with a 3-gram precondition is the scaled-down analog of
+    # the production put-path chunk table (~30-100 codes, ngram 7)
+    corpus = documents_as_corpus(spark, sf_dir)
+    dig = ctph_digests(corpus, DOCS_CONFIG.shingle)
+    pairs = ctph_pairs(dig, min_sim=CTPH_MIN_SIM, ngram=3)
+    pair_agg = pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.min("sim").alias("min_sim"),
+        F.max("sim").alias("max_sim"),
+    )
+    dig_agg = dig.agg(
+        F.max(F.length("digest")).alias("max_len"),
+        F.sum(
+            F.when(F.col("digest").rlike("^[A-Za-z0-9_-]*$"), 0).otherwise(1)
+        ).alias("bad_alpha"),
+    )
+    sha = corpus.select(
+        "file_id", F.sha2(F.encode("content", "UTF-8"), 256).alias("sha")
+    )
+    exact_pairs = (
+        sha.alias("l")
+        .join(sha.alias("r"), "sha")
+        .where(F.col("l.file_id") < F.col("r.file_id"))
+        .join(
+            dig.select(F.col("file_id").alias("lid"), F.length("digest").alias("dl")),
+            F.col("l.file_id") == F.col("lid"),
+        )
+        .where(F.col("dl") >= 3)  # below the ngram floor no pair forms
+        .select(
+            F.col("l.file_id").alias("a"), F.col("r.file_id").alias("b")
+        )
+    )
+    exact_agg = (
+        exact_pairs.join(pairs, ["a", "b"], "left")
+        .agg(
+            F.sum(
+                F.when(F.coalesce("sim", F.lit(0.0)) < 1.0, 1).otherwise(0)
+            ).alias("bad_exact")
+        )
+    )
+    return (
+        _docs(spark, sf_dir)
+        .agg(F.count("*").alias("n_docs"))
+        .crossJoin(pair_agg)
+        .crossJoin(dig_agg)
+        .crossJoin(exact_agg)
+        .select(
+            "n_docs",
+            (F.col("n_pairs") >= CTPH_MIN_PAIRS).alias("n_pairs_ok"),
+            F.coalesce(
+                (F.col("min_sim") >= CTPH_MIN_SIM) & (F.col("max_sim") <= 1.0),
+                F.col("n_pairs") == 0,  # vacuously true, n_pairs_ok flags it
+            ).alias("sim_bounds_ok"),
+            (
+                (F.col("max_len") <= CTPH_MAX_CODES) & (F.col("bad_alpha") == 0)
+            ).alias("digest_ok"),
+            (F.coalesce("bad_exact", F.lit(0)) == 0).alias("exact_ok"),
+        )
+    )
+
+
+SQL_CTPH_CONTRACT = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       true AS n_pairs_ok, true AS sim_bounds_ok, true AS digest_ok,
+       true AS exact_ok
+FROM documents
+"""
+
+
 # ----------------------------------------------------- rename detection
 
 RENAME_SIM_THRESHOLD = 0.3  # edited-rename floor (3-gram Jaccard, git -M)
@@ -4114,9 +4220,6 @@ QUERIES = {
     "round_trip_sha": (q_round_trip_sha, SQL_ROUND_TRIP_SHA),
     "move_skip": (q_move_skip, SQL_MOVE_SKIP),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
-    "ngram_containment_pairs": (
-        q_ngram_containment_pairs, SQL_NGRAM_CONTAINMENT_PAIRS,
-    ),
     "minhash": (q_minhash_sql, SQL_MINHASH),
     "lsh_band_pairs": (q_lsh_band_pairs, SQL_LSH_BAND_PAIRS),
     "simhash32": (q_simhash32, SQL_SIMHASH32),
@@ -4146,6 +4249,8 @@ QUERIES = {
     "wminhash_calibration": (q_wminhash_calibration, SQL_WMINHASH_CALIBRATION),
     "rename_candidates": (q_rename_candidates, SQL_RENAME_CANDIDATES),
     "clone_type1_groups": (q_clone_type1_groups, SQL_CLONE_TYPE1_GROUPS),
+    # contract oracle (n_docs anchor + invariant verdicts; chunker not SQL)
+    "ctph_contract": (q_ctph_contract, SQL_CTPH_CONTRACT),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
     # implementation de-quadratized round 7 — must stay driver-gated
@@ -4189,6 +4294,9 @@ QUERIES = {
     "event_range_counts": (q_event_range_counts, SQL_EVENT_RANGE_COUNTS),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     "salted_skew_agg": (q_salted_skew_agg, SQL_SALTED_SKEW_AGG),
+    "ngram_containment_pairs": (
+        q_ngram_containment_pairs, SQL_NGRAM_CONTAINMENT_PAIRS,
+    ),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
