@@ -3881,11 +3881,23 @@ def q_wminhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     icws_udf = pandas_udf(_icws_fn, "array<long>")
 
-    sam = grouped.select("doc_id", icws_udf("ths", "tfs").alias("s"))
     pairs = (
         _weighted_pair_scores(tf)
         .where(F.col("wjac") >= ICWS_CAL_MIN)
         .select("a", "b", "wjac")
+    )
+    # sample ONLY candidate docs (semi-join prune, the prod-calibration
+    # shape): Catalyst instantiates the sampling subplan once per join
+    # side, so restricting it to the bounded candidate set keeps the
+    # duplicated Arrow UDF work O(candidates), not O(corpus)
+    cand_docs = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    sam = (
+        grouped.join(cand_docs, "doc_id", "left_semi")
+        .select("doc_id", icws_udf("ths", "tfs").alias("s"))
     )
     agree = F.aggregate(
         F.zip_with("sa", "sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
