@@ -129,6 +129,57 @@ PAIRED_SESSIONS = [
     },
 ]
 
+# The GATE shape: local[2] vs local[8]. The 4N level (8 busy cores of 32)
+# leaves the box's shared all-core envelope un-bound, so the ratio measures
+# the PIPELINE's scaling rather than the sandbox's ceiling. Wider footprints
+# are recorded as CURVE points below, never as the gate verdict (the r7 n=4
+# regeneration briefly rendered a 16-busy-core curve point as a failed gate
+# — different quantity).
+GATE_N = 2
+
+# Permanent wider-footprint rows (same job, same input, same paired-median
+# statistic): the single-box scaling curve the gate row heads. Every n != 2
+# run appends here at regeneration time rather than to the gate table.
+CURVE_SESSIONS = [
+    {
+        "config": "local[4] vs local[16], single JVM (round 4)",
+        "busy": "16 / 32",
+        "eff_cs": 0.711,
+        "note": "pairs 0.695/0.711/0.765",
+        "artifact": "scaling_n4.json",
+    },
+    {
+        "config": "local[4] vs local[16], single JVM (round 7)",
+        "busy": "16 / 32",
+        "eff_cs": 0.667,
+        "note": "pairs 0.787/0.667/0.608; first local[4] rep cold "
+        "(55.1 s vs 42.3-43.0 warm) flatters pair 0; consistent with the "
+        "round-4 point. Same-window 4-vs-16 kernel probe 0.870 "
+        "(kernel_contention_r7_n4.json): 13% of the gap is the measured "
+        "per-core hardware envelope at 16 busy cores -> isolated 0.766 "
+        "c+s / 0.597 total; the remainder is the JVM/Arrow/parquet layer "
+        "under 16-busy-core load (BENCH/EXECUTORS_n4_r4.md analysis) — "
+        "costs separate 4-core cluster nodes never see",
+        "artifact": "scaling_r7_n4.json",
+    },
+    {
+        "config": "1 vs 4 pinned local[4] JVMs (executor-count analog, round 4)",
+        "busy": "16 / 32",
+        "eff_cs": 0.537,
+        "note": "wall of slowest executor; per-executor times uniform",
+        "artifact": "executors_n4_r4.json, BENCH/EXECUTORS_n4_r4.md",
+    },
+    {
+        "config": "1 vs 4 pinned local[2] JVMs (executor-count, round 6)",
+        "busy": "8 / 32",
+        "eff_cs": 0.485,
+        "note": "multi-JVM-per-box tax, not pipeline scaling — a single "
+        "wider JVM beats the same cores split across JVMs "
+        "(BENCH/EXECUTORS.md three-shape analysis)",
+        "artifact": "executors.json, BENCH/EXECUTORS.md",
+    },
+]
+
 # Appended verbatim to every regenerated BENCH/BASELINE.md so the
 # cross-session evidence survives report regeneration (CLAUDE.md pitfall).
 HISTORY_MD = """
@@ -661,7 +712,11 @@ def write_report(raw_runs: dict[str, list[dict]], pairs: list[dict],
     factor = None
     if os.path.exists(kc_path):
         with open(kc_path) as f:
-            factor = json.load(f)["contention_factor"]
+            kc = json.load(f)
+        # only divide by a probe that measured THIS run's two core counts —
+        # a 2-vs-8 probe says nothing about the 16-busy-core envelope
+        if set(kc.get("levels", {})) == {str(n), str(4 * n)}:
+            factor = kc["contention_factor"]
     eff_cs_iso = eff_cs / factor if factor else None
     eff_iso = eff / factor if factor else None
     iso_md = (
@@ -705,6 +760,69 @@ contention factor; BASELINE.md will then report normalized efficiency.
         for s in PAIRED_SESSIONS
     )
     today = time.strftime("%Y-%m-%d")
+
+    # Gate vs curve: only a GATE_N-shaped run may claim (or fail) the gate.
+    is_gate_run = n == GATE_N
+    if is_gate_run:
+        gate_label = (
+            "target >= 0.8 — MET"
+            if eff_cs >= 0.8
+            else "target >= 0.8 — NOT met in this session"
+        )
+    else:
+        gate_label = (
+            f"a local[{n}]-vs-local[{4*n}] CURVE measurement — the >= 0.8 "
+            f"gate rides on the local[{GATE_N}]-vs-local[{4*GATE_N}] shape, "
+            "see adjudication below"
+        )
+    if is_gate_run:
+        this_gate_row = (
+            f"| THIS session ({today}) | **{eff_cs:.3f}** | {eff:.3f} | "
+            f"intra-pair decay gap active (see pair table) |"
+        )
+        verdict_md = f"""**Gate adjudication ({today})**: the verdict row is THIS session's
+{eff_cs:.3f} — {'>= 0.8, MET' if eff_cs >= 0.8 else 'below 0.8, NOT met this session'};
+earlier sessions remain in the table as history, not as the claim."""
+    else:
+        this_gate_row = ""
+        newest = PAIRED_SESSIONS[-1]
+        verdict_md = f"""**Gate adjudication ({today})**: THIS session measured the
+local[{n}]-vs-local[{4*n}] CURVE point (see the curve table below), not the
+local[{GATE_N}]-vs-local[{4*GATE_N}] gate shape; the gate verdict remains the newest
+gate-shape row above — {newest['session']}: **{newest['eff_cs']:.3f}**
+chunk+sign ({'MET' if newest['eff_cs'] >= 0.8 else 'NOT met'})."""
+    pairs_str = "/".join("%.3f" % p["eff_chunk_sign"] for p in pairs)
+    already_permanent = any(
+        f"local[{n}] vs local[{4*n}]" in c["config"]
+        and abs(c["eff_cs"] - eff_cs) < 0.0005
+        for c in CURVE_SESSIONS
+    )
+    curve_extra = (
+        ""
+        if is_gate_run or already_permanent
+        else f"\n| local[{n}] vs local[{4*n}], single JVM (THIS session, {today}) "
+        f"| {4*n} / 32 | {eff_cs:.3f} | pairs {pairs_str} "
+        f"(`scaling.json`) |"
+    )
+    curve_rows = "\n".join(
+        f"| {c['config']} | {c['busy']} | {c['eff_cs']:.3f} | "
+        f"{c['note']} (`{c['artifact']}`) |"
+        for c in CURVE_SESSIONS
+    ) + curve_extra
+    curve_md = f"""
+## Scaling curve across footprints (single box, shared envelope)
+
+The gate shape's 4N level (8 busy cores of 32) leaves the box's all-core
+envelope un-bound, so its ratio measures the pipeline. Wider footprints on
+this ONE box additionally pay the shared L3/bandwidth/frequency envelope
+and (for multi-JVM shapes) the per-box multi-JVM tax — costs a real
+cluster's separate nodes do not share. They are recorded here as the
+curve, never as the gate:
+
+| configuration | busy cores at 4N | paired-median c+s eff | notes |
+|---|---|---|---|
+{curve_rows}
+"""
     md = f"""# BENCH/BASELINE — measured scaling evidence
 
 Same job (fused single-pass chunk+sign -> LSH/SimHash edges -> connected
@@ -725,7 +843,7 @@ round-2/3 spread on identical code; see history below).
 {pair_rows}
 
 **Chunk+sign scaling efficiency = median of paired ratios = {eff_cs:.3f}**
-(target >= 0.8 — {'MET' if eff_cs >= 0.8 else 'NOT met in this session'},
+({gate_label},
 raw shared-socket measurement, before any contention correction); total
 incl. clustering = {eff:.3f}. Per-rep loadavg stamps AND per-launch decay
 gaps ride every worker result (BENCH/raw_runs.json). Every worker launch
@@ -734,17 +852,17 @@ inside the previous rep's decay tail (the round-5 window-B confound).
 
 ## Multi-session paired-design record (gate adjudication)
 
-Every paired-design session since the round-4 redesign, including the
-below-gate ones — the gate claim is only as current as this table:
+Every gate-shape (local[{GATE_N}] vs local[{4*GATE_N}]) paired-design session
+since the round-4 redesign, including the below-gate ones — the gate claim
+is only as current as this table:
 
 | session | c+s eff | total eff | notes |
 |---|---|---|---|
 {paired_rows}
-| THIS session ({today}) | **{eff_cs:.3f}** | {eff:.3f} | intra-pair decay gap active (see pair table) |
+{this_gate_row}
 
-**Gate adjudication ({today})**: the verdict row is THIS session's
-{eff_cs:.3f} — {'>= 0.8, MET' if eff_cs >= 0.8 else 'below 0.8, NOT met this session'};
-earlier sessions remain in the table as history, not as the claim.
+{verdict_md}
+{curve_md}
 
 ## Best-of-{repeats} throughput per level (secondary)
 
