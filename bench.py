@@ -150,6 +150,7 @@ def main() -> None:
         "rename_candidates",
         "clone_type1_groups",
         "ctph_contract",
+        "supershingle_pairs",
     ]
 
     # --- synthetic source-code corpus for the pipeline phases (built once,

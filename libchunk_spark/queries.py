@@ -484,23 +484,7 @@ def q_lsh_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     string_agg ... ORDER BY perm), so the whole path is ONE aggregation
     shuffle + the band-bucket self-join; no collect_list re-aggregation.
     """
-    wide = _minhash_wide(spark, sf_dir)
-    n_bands = N_PERMS_SQL // BAND_ROWS_SQL
-    sigs = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"mh{b * BAND_ROWS_SQL + r}").cast("string")
-                    for r in range(BAND_ROWS_SQL)
-                ],
-            )
-        )
-        for b in range(n_bands)
-    ]
-    bands = wide.select(
-        "doc_id", F.posexplode(F.array(*sigs)).alias("band", "band_sig")
-    )
+    bands = _band_sigs(spark, sf_dir)
     l, r = bands.alias("l"), bands.alias("r")
     return (
         l.join(r, ["band", "band_sig"])
@@ -520,6 +504,81 @@ bands AS (
 SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
 FROM bands l JOIN bands r ON l.band = r.band AND l.band_sig = r.band_sig
 WHERE l.doc_id < r.doc_id
+"""
+
+
+# Pairs must agree on >= this many whole band signatures to clear the
+# supershingle tier (Henzinger's B-similarity >= 2 rule).
+MIN_SHARED_BANDS = 2
+
+
+def _band_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, band_sig) — one md5 signature per band off the wide
+    MinHash row; shared by q_lsh_band_pairs and q_supershingle_pairs."""
+    wide = _minhash_wide(spark, sf_dir)
+    n_bands = N_PERMS_SQL // BAND_ROWS_SQL
+    sigs = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{b * BAND_ROWS_SQL + r}").cast("string")
+                    for r in range(BAND_ROWS_SQL)
+                ],
+            )
+        )
+        for b in range(n_bands)
+    ]
+    return wide.select(
+        "doc_id", F.posexplode(F.array(*sigs)).alias("band", "band_sig")
+    )
+
+
+def q_supershingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-tier near-dup pairs: >= MIN_SHARED_BANDS whole band
+    signatures agree (Broder's super-shingle construction, SEQUENCES 1997;
+    the agreement->=2 decision rule is Henzinger's B-similarity, SIGIR
+    2006 "Finding near-duplicate web pages").
+
+    Banding (q_lsh_band_pairs) is the RECALL tier: one agreeing band makes
+    a candidate, and at 100 TB the candidate volume is what you pay for.
+    The supershingle tier upgrades candidates to near-certain duplicates
+    WITHOUT touching the documents again: the same (band, band_sig)
+    self-join, then a count per pair — pairs agreeing on >= 2 of the 4
+    band signatures. P[band agrees] = j^4, so the >= 2-of-4 rule
+    concentrates sharply around j ~ 0.7+: a verdict cheap enough to run
+    inline with candidate generation (the band exchange is computed once
+    and reused by both join sides — plan-asserted), precise enough that
+    what clears it can skip the edit-distance/winnowing verify stage
+    entirely. At scale this is the cheapest shuffle-free-beyond-banding
+    precision upgrade there is: no new shuffle key, no second pass over
+    text, one tiny (a, b) aggregation over rows the candidate join already
+    produced.
+    """
+    bands = _band_sigs(spark, sf_dir)
+    l, r = bands.alias("l"), bands.alias("r")
+    return (
+        l.join(r, ["band", "band_sig"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+        .where(F.col("n_shared_bands") >= MIN_SHARED_BANDS)
+    )
+
+
+SQL_SUPERSHINGLE_PAIRS = f"""
+WITH mh AS ({_sql_minhash_core()}),
+bands AS (
+  SELECT doc_id, CAST(floor(perm / {BAND_ROWS_SQL}) AS BIGINT) AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm)) AS band_sig
+  FROM mh GROUP BY doc_id, 2
+)
+SELECT l.doc_id AS a, r.doc_id AS b,
+       CAST(count(*) AS BIGINT) AS n_shared_bands
+FROM bands l JOIN bands r ON l.band = r.band AND l.band_sig = r.band_sig
+WHERE l.doc_id < r.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {MIN_SHARED_BANDS}
 """
 
 
@@ -4263,7 +4322,10 @@ QUERIES = {
     "clone_type1_groups": (q_clone_type1_groups, SQL_CLONE_TYPE1_GROUPS),
     # contract oracle (n_docs anchor + invariant verdicts; chunker not SQL)
     "ctph_contract": (q_ctph_contract, SQL_CTPH_CONTRACT),
-    "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
+    # NEW round 7: Broder/Henzinger supershingle precision tier (>=2 bands);
+    # winnow_fingerprints (r06-green, unchanged this round) rotated to the
+    # tail to keep the window at 50
+    "supershingle_pairs": (q_supershingle_pairs, SQL_SUPERSHINGLE_PAIRS),
     "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
     # implementation de-quadratized round 7 — must stay driver-gated
     "clone_type2_groups": (q_clone_type2_groups, SQL_CLONE_TYPE2_GROUPS),
@@ -4304,6 +4366,7 @@ QUERIES = {
         q_event_asof_attribution, SQL_EVENT_ASOF_ATTRIBUTION,
     ),
     "event_range_counts": (q_event_range_counts, SQL_EVENT_RANGE_COUNTS),
+    "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     "salted_skew_agg": (q_salted_skew_agg, SQL_SALTED_SKEW_AGG),
     "ngram_containment_pairs": (

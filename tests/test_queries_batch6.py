@@ -82,3 +82,71 @@ def test_weighted_jaccard_nonempty_at_both_sfs(spark):
     assert (
         Q.q_weighted_jaccard_pairs(spark, "/root/testdata/sf0.1").count() > 0
     )
+
+
+def test_supershingle_pairs_subset_and_bounds(spark):
+    """Tier containment: the >=2-band pairs are a subset of the >=1-band
+    candidates; counts live in [MIN_SHARED_BANDS, n_bands]. Non-empty at
+    sf0.001 AND sf0.01 so the driver's oracle run can never be trivially
+    empty."""
+    n_bands = Q.N_PERMS_SQL // Q.BAND_ROWS_SQL
+    for sf in (SF, SF01):
+        ss = {
+            (r.a, r.b): r.n_shared_bands
+            for r in Q.q_supershingle_pairs(spark, sf).collect()
+        }
+        assert ss, sf
+        cand = {
+            (r.a, r.b) for r in Q.q_lsh_band_pairs(spark, sf).collect()
+        }
+        assert set(ss) <= cand, sf
+        assert all(
+            Q.MIN_SHARED_BANDS <= n <= n_bands for n in ss.values()
+        ), sf
+
+
+def test_supershingle_planted_corpus_tiers(spark, tmp_path):
+    """Planted-corpus semantics: exact dups (identical text, >= 3 tokens)
+    share every gram, so all 4 band signatures agree; unrelated docs share
+    none. A light one-word edit on a long doc keeps high Jaccard and must
+    still clear the >= 2-of-4 tier (the verdict the operator exists for)."""
+    base = " ".join(f"tok{i}" for i in range(200))
+    edited = " ".join(
+        f"tok{i}" if i != 100 else "CHANGED" for i in range(200)
+    )
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, edited),  # near dup of 1/2 (jac ~ 0.97 on 3-grams)
+        (4, " ".join(f"other{i}" for i in range(200))),  # unrelated
+    ]
+    (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "documents.parquet"))
+    )
+    n_bands = Q.N_PERMS_SQL // Q.BAND_ROWS_SQL
+    ss = {
+        (r.a, r.b): r.n_shared_bands
+        for r in Q.q_supershingle_pairs(spark, str(tmp_path)).collect()
+    }
+    assert ss[(1, 2)] == n_bands  # exact dup: every band agrees
+    assert (1, 3) in ss and (2, 3) in ss  # near dup clears the >=2 tier
+    assert all(4 not in pair for pair in ss)  # unrelated never pairs
+
+
+def test_supershingle_reuses_the_band_exchange(spark):
+    """Both self-join sides must read ONE exchange over the band-signature
+    table (broadcast off = the 100 TB join shape): the minhash aggregation
+    and md5 band signatures compute once, not twice."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = Q.q_supershingle_pairs(spark, SF)
+        df.collect()  # AQE: reuse shows only in the final adaptive plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "isFinalPlan=true" in plan, plan
+    assert "ReusedExchange" in plan, plan
