@@ -151,6 +151,8 @@ def main() -> None:
         "clone_type1_groups",
         "ctph_contract",
         "supershingle_pairs",
+        "simhash_hamming_pairs",
+        "allpairs_jaccard",
     ]
 
     # --- synthetic source-code corpus for the pipeline phases (built once,
