@@ -153,6 +153,7 @@ def main() -> None:
         "supershingle_pairs",
         "simhash_hamming_pairs",
         "allpairs_jaccard",
+        "semantic_decontam_flags",
     ]
 
     # --- synthetic source-code corpus for the pipeline phases (built once,

@@ -84,6 +84,44 @@ def brute_force_pairs(
     )
 
 
+def max_sim_to_set(
+    emb: DataFrame,
+    probes: DataFrame,
+    out_col: str = "max_sim",
+    max_probe_rows: int = BRUTE_FORCE_MAX_ROWS,
+) -> DataFrame:
+    """(vec_id, <out_col>) — each row's max cosine to the broadcast probe
+    set, rounded half-away-from-zero to 4 places per pair (max of rounds ==
+    round of max: rounding is monotone).
+
+    The semantic-decontamination shape: the probe side (an eval benchmark's
+    embeddings) is small and broadcast once; the corpus side streams
+    through ONE map-only Arrow-batched matmul — zero shuffles, exact
+    answer, cost O(|corpus| * |probes|) flops spread across every core.
+    Only the probe side may be collected (guarded like brute_force_pairs);
+    the corpus side never leaves the executors."""
+    spark = emb.sparkSession
+    _, p_mat = _collect_matrix(probes, max_probe_rows)
+    p_norms = np.sqrt((p_mat * p_mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((p_mat, p_norms))
+
+    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_mat, b_norms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+            vn = np.sqrt((v * v).sum(axis=1))
+            sims = _round4((v @ b_mat.T) / np.outer(vn, b_norms))
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], out_col: sims.max(axis=1)}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        block, f"vec_id long, {out_col} double"
+    )
+
+
 def scored_candidates(
     emb: DataFrame,
     queries: DataFrame,

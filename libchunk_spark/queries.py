@@ -1368,6 +1368,58 @@ FROM documents d WHERE d.doc_id % 97 <> 0
 """
 
 
+# Semantic (embedding-space) decontamination threshold. COSINE_THRESHOLD
+# (0.3) is ~the 99th percentile of this corpus's pair sims, so flags are
+# non-empty but selective at sf0.01.
+SEM_DECONTAM_THRESHOLD = COSINE_THRESHOLD
+
+
+def q_semantic_decontam_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination — the paraphrase-contamination twin
+    of q_decontam_flags: flag every corpus vector whose max cosine to the
+    held-out eval embedding set (vec_id % 50 == 0, the pseudo-eval subset
+    the topk contracts use) reaches SEM_DECONTAM_THRESHOLD. N-gram overlap
+    misses reworded benchmark leakage; embedding similarity is the
+    published countermeasure, and a curation pipeline runs BOTH gates.
+
+    Scale shape (operators/similarity.py::max_sim_to_set): eval benchmarks
+    are tiny relative to the corpus, so the eval matrix BROADCASTS (bounded
+    by the same guard as brute_force_pairs) and the corpus side streams
+    through one map-only Arrow-batched matmul — zero shuffles at any
+    corpus size, exact answer (no recall floor needed), mirroring
+    q_decontam_flags' broadcast-the-eval-side discipline."""
+    from libchunk_spark.operators.similarity import max_sim_to_set
+
+    emb = _emb(spark, sf_dir)
+    is_eval = F.col("vec_id") % 50 == 0
+    scored = max_sim_to_set(
+        emb.where(~is_eval), emb.where(is_eval), out_col="max_eval_sim"
+    )
+    return scored.select(
+        "vec_id",
+        "max_eval_sim",
+        (F.col("max_eval_sim") >= SEM_DECONTAM_THRESHOLD).alias("contaminated"),
+    )
+
+
+SQL_SEMANTIC_DECONTAM_FLAGS = f"""
+WITH ev AS (
+  SELECT embedding FROM embeddings WHERE vec_id % 50 = 0
+),
+sims AS (
+  SELECT c.vec_id,
+         max(round(list_cosine_similarity(
+               c.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4)) AS max_eval_sim
+  FROM embeddings c, ev e
+  WHERE c.vec_id % 50 <> 0
+  GROUP BY c.vec_id
+)
+SELECT vec_id, max_eval_sim,
+       max_eval_sim >= {SEM_DECONTAM_THRESHOLD} AS contaminated
+FROM sims
+"""
+
+
 def q_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex token counting (words / numbers / punctuation runs).
 
@@ -4433,7 +4485,6 @@ QUERIES = {
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
     "round_trip_sha": (q_round_trip_sha, SQL_ROUND_TRIP_SHA),
     "move_skip": (q_move_skip, SQL_MOVE_SKIP),
-    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "minhash": (q_minhash_sql, SQL_MINHASH),
     "lsh_band_pairs": (q_lsh_band_pairs, SQL_LSH_BAND_PAIRS),
     "simhash32": (q_simhash32, SQL_SIMHASH32),
@@ -4450,6 +4501,11 @@ QUERIES = {
     # topk_similar rotated to the tail in their place.
     "simhash_hamming_pairs": (q_simhash_hamming_pairs, SQL_SIMHASH_HAMMING_PAIRS),
     "allpairs_jaccard": (q_allpairs_jaccard, SQL_ALLPAIRS_JACCARD),
+    # NEW round 7 (late): embedding-space decontamination (ngram_jaccard_pairs
+    # — green since r01, implementation untouched — rotated to the tail)
+    "semantic_decontam_flags": (
+        q_semantic_decontam_flags, SQL_SEMANTIC_DECONTAM_FLAGS,
+    ),
     "topk_ivf": (q_topk_ivf, SQL_TOPK_IVF),  # recall-floor contract
     "topk_pq": (q_topk_pq, SQL_TOPK_IVF),  # same exact-ranking oracle/floor
     "topk_ivfpq": (q_topk_ivfpq, SQL_TOPK_IVF),  # IVFADC, same contract
@@ -4540,8 +4596,9 @@ QUERIES = {
     "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
     "source_similarity": (q_source_similarity, SQL_SOURCE_SIMILARITY),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
-    # rotated out round 7 (late): r06-green, similarity.py untouched this
+    # rotated out round 7 (late): r06-green, implementations untouched this
     # round; test_entry.py still parity-checks them every suite run
     "emb_dedup_verdicts": (q_emb_dedup_verdicts, SQL_EMB_DEDUP_VERDICTS),
     "topk_similar": (q_topk_similar, SQL_TOPK_SIMILAR),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
 }

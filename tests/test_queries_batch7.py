@@ -142,6 +142,51 @@ def test_allpairs_prefix_actually_prunes(spark):
     assert true_pairs <= cand_pairs
 
 
+# ------------------------------------------------- semantic decontamination
+
+
+def test_max_sim_to_set_planted_flags(spark):
+    """Planted geometry: a corpus vector parallel to an eval vector must
+    flag, an orthogonal one must not, eval rows never appear in the
+    output, and every corpus row appears exactly once."""
+    from libchunk_spark.operators.similarity import max_sim_to_set
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),   # eval
+        (50, [0.0, 1.0, 0.0]),  # eval
+        (1, [2.0, 0.0, 0.0]),   # parallel to eval 0 -> sim 1.0
+        (2, [0.0, 0.0, 3.0]),   # orthogonal to both -> sim 0.0
+        (3, [1.0, 1.0, 0.0]),   # 45 deg to both -> sim 0.7071
+    ]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    from pyspark.sql import functions as SF_
+
+    is_eval = SF_.col("vec_id").isin(0, 50)
+    got = {
+        r["vec_id"]: r["max_eval_sim"]
+        for r in max_sim_to_set(
+            emb.where(~is_eval), emb.where(is_eval), out_col="max_eval_sim"
+        ).collect()
+    }
+    assert got == {1: 1.0, 2: 0.0, 3: 0.7071}
+
+
+def test_semantic_decontam_is_map_only(spark):
+    """The corpus side must never shuffle: the eval matrix broadcasts and
+    the scan feeds one Arrow-batched matmul — zero Exchange nodes in the
+    plan (q_decontam_flags' broadcast-the-eval-side discipline, without
+    even the distinct)."""
+    df = Q.q_semantic_decontam_flags(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    n_corpus = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .where(F.col("vec_id") % 50 != 0)
+        .count()
+    )
+    assert df.count() == n_corpus
+
+
 def test_allpairs_reuses_the_prefix_exchange(spark):
     """Both self-join sides must reuse ONE exchange over the ranked prefix
     table (broadcast off): the gram explosion, df ranking, and prefix
