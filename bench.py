@@ -154,6 +154,7 @@ def main() -> None:
         "simhash_hamming_pairs",
         "allpairs_jaccard",
         "semantic_decontam_flags",
+        "bbit_minhash_calibration",
     ]
 
     # --- synthetic source-code corpus for the pipeline phases (built once,

@@ -3795,6 +3795,34 @@ def q_minhash_calibration_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles only for docs appearing in a pair (semi-join prune) and
     equi-joins on the 64-bit shingle hash — skew-free crypto-ish keys.
     """
+    corpus, scored = _minhash_prod_scored(
+        spark, sf_dir, lambda x, y: F.when(x == y, 1).otherwise(0)
+    )
+    agg = scored.agg(
+        F.count("*").alias("n_pairs"),
+        F.avg(F.abs(F.col("est") - F.col("jac"))).alias("mae"),
+        F.max(F.abs(F.col("est") - F.col("jac"))).alias("maxerr"),
+        F.avg(F.col("est") - F.col("jac")).alias("bias"),
+    )
+    return (
+        corpus.agg(F.count("*").alias("n_docs"))
+        .crossJoin(agg)
+        .select(
+            "n_docs",
+            (F.col("n_pairs") >= MINHASH_PROD_MIN_PAIRS).alias("n_pairs_ok"),
+            (F.col("mae") <= MINHASH_PROD_MAE_MAX).alias("mae_ok"),
+            (F.col("maxerr") <= MINHASH_PROD_MAXERR_MAX).alias("maxerr_ok"),
+            (F.abs(F.col("bias")) <= MINHASH_PROD_BIAS_BAND).alias("bias_ok"),
+        )
+    )
+
+
+def _minhash_prod_scored(spark, sf_dir, agree_fn, correction=None):
+    """Shared est-vs-exact scaffolding for production-signature calibration
+    contracts: (corpus, scored) where scored has one row per LSH candidate
+    pair with `est` (fraction of agreeing perms under `agree_fn`, passed
+    through `correction` if given) and `jac` (exact Jaccard of the same
+    content-defined shingle sets, semi-join-pruned to candidate docs)."""
     from libchunk_spark.config import DOCS_CONFIG
     from libchunk_spark.fixtures import documents_as_corpus
     from libchunk_spark.functions.udfs import (
@@ -3811,14 +3839,15 @@ def q_minhash_calibration_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     ma = sigs.select(F.col("file_id").alias("a"), F.col("minhash").alias("ma"))
     mb = sigs.select(F.col("file_id").alias("b"), F.col("minhash").alias("mb"))
     agree = F.aggregate(
-        F.zip_with("ma", "mb", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.zip_with("ma", "mb", agree_fn),
         F.lit(0),
         lambda acc, v: acc + v,
     )
+    raw = agree / F.lit(nperm)
     est = (
         pairs.join(ma, "a")
         .join(mb, "b")
-        .select("a", "b", (agree / F.lit(nperm)).alias("est"))
+        .select("a", "b", (correction(raw) if correction else raw).alias("est"))
     )
     cand_docs = (
         pairs.select(F.col("a").alias("file_id"))
@@ -3852,6 +3881,57 @@ def q_minhash_calibration_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jac"),
         )
     )
+    return corpus, scored
+
+
+SQL_MINHASH_CALIBRATION_PROD = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       true AS n_pairs_ok, true AS mae_ok, true AS maxerr_ok, true AS bias_ok
+FROM documents
+"""
+
+
+# b-bit MinHash (Li & Koenig, WWW 2010 / CACM 2011): store only the lowest
+# b bits of each of the 128 production perms — 32x smaller signatures at
+# b=2 (the first-order storage cost at 10^12 docs) — and correct the
+# collision inflation: E[agree] = C + (1-C)*J with C ~= 1/2^b for ~uniform
+# min-hash values, so J_hat = (agree_frac - C)/(1 - C). Variance rises by
+# ~1/(1-C)^2 vs the full-width estimator; bounds below are measured (sf0.01
+# n=21: mae 0.0652, maxerr 0.275, bias -0.013; sf0.1 n=212: mae 0.0738,
+# maxerr 0.365, bias -0.007 — ~2.3x the full-width family's mae, the
+# quantified cost of the 32x storage cut) with ~2x margin, alongside the
+# full-family contract so the two estimators' error budgets stay
+# side-by-side.
+BBIT_B = 2
+BBIT_COLLISION = 1.0 / (1 << BBIT_B)
+BBIT_MIN_PAIRS = 10
+BBIT_MAE_MAX = 0.15
+BBIT_MAXERR_MAX = 0.55
+BBIT_BIAS_BAND = 0.04
+
+
+def q_bbit_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration contract for b-bit MinHash over the PRODUCTION 128-perm
+    family: agreement counted on the lowest BBIT_B bits only (int64
+    bitwiseAND — sign-safe on two's complement), estimator corrected for
+    random collisions per Li & Koenig, compared against the exact Jaccard
+    of the same content-defined shingle sets (shared scaffolding with
+    q_minhash_calibration_prod — same LSH candidate pairs, same semi-join
+    prune, same contract row shape).
+
+    Why it exists: at 10^12 files the signature TABLE is the storage cost
+    (128 x 8 bytes/doc = 1 TB/10^9 docs); b=2 cuts it 32x. The contract
+    quantifies what that buys back in estimator error so the trade is a
+    measured one, per the "recall floors alone do NOT validate a sketch"
+    rule."""
+    mask = F.lit((1 << BBIT_B) - 1)
+    c = BBIT_COLLISION
+    corpus, scored = _minhash_prod_scored(
+        spark,
+        sf_dir,
+        lambda x, y: F.when(x.bitwiseAND(mask) == y.bitwiseAND(mask), 1).otherwise(0),
+        correction=lambda raw: (raw - F.lit(c)) / F.lit(1.0 - c),
+    )
     agg = scored.agg(
         F.count("*").alias("n_pairs"),
         F.avg(F.abs(F.col("est") - F.col("jac"))).alias("mae"),
@@ -3863,15 +3943,15 @@ def q_minhash_calibration_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(agg)
         .select(
             "n_docs",
-            (F.col("n_pairs") >= MINHASH_PROD_MIN_PAIRS).alias("n_pairs_ok"),
-            (F.col("mae") <= MINHASH_PROD_MAE_MAX).alias("mae_ok"),
-            (F.col("maxerr") <= MINHASH_PROD_MAXERR_MAX).alias("maxerr_ok"),
-            (F.abs(F.col("bias")) <= MINHASH_PROD_BIAS_BAND).alias("bias_ok"),
+            (F.col("n_pairs") >= BBIT_MIN_PAIRS).alias("n_pairs_ok"),
+            (F.col("mae") <= BBIT_MAE_MAX).alias("mae_ok"),
+            (F.col("maxerr") <= BBIT_MAXERR_MAX).alias("maxerr_ok"),
+            (F.abs(F.col("bias")) <= BBIT_BIAS_BAND).alias("bias_ok"),
         )
     )
 
 
-SQL_MINHASH_CALIBRATION_PROD = """
+SQL_BBIT_MINHASH_CALIBRATION = """
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
        true AS n_pairs_ok, true AS mae_ok, true AS maxerr_ok, true AS bias_ok
 FROM documents
@@ -4487,7 +4567,12 @@ QUERIES = {
     "move_skip": (q_move_skip, SQL_MOVE_SKIP),
     "minhash": (q_minhash_sql, SQL_MINHASH),
     "lsh_band_pairs": (q_lsh_band_pairs, SQL_LSH_BAND_PAIRS),
-    "simhash32": (q_simhash32, SQL_SIMHASH32),
+    # NEW round 7 (late): b-bit MinHash storage-trade contract (simhash32 —
+    # r06-green, unchanged, transitively exercised by simhash_hamming_pairs
+    # — rotated to the tail)
+    "bbit_minhash_calibration": (
+        q_bbit_minhash_calibration, SQL_BBIT_MINHASH_CALIBRATION,
+    ),
     "components": (q_components, SQL_COMPONENTS),
     # incremental update must reproduce the batch answer exactly
     "components_incremental": (q_components_incremental, SQL_COMPONENTS),
@@ -4601,4 +4686,5 @@ QUERIES = {
     "emb_dedup_verdicts": (q_emb_dedup_verdicts, SQL_EMB_DEDUP_VERDICTS),
     "topk_similar": (q_topk_similar, SQL_TOPK_SIMILAR),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "simhash32": (q_simhash32, SQL_SIMHASH32),
 }

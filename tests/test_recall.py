@@ -76,6 +76,43 @@ def test_minhash_prod_calibration_multi_pair(n_files, seed, min_pairs):
     assert abs(bias) <= 0.02, f"bias {bias:+.4f} outside ±0.02"
 
 
+def test_bbit_minhash_calibration_planted_pairs():
+    """b-bit MinHash (Li & Koenig 2010) over the production 128-perm
+    signatures: agreement on the lowest 2 bits, collision-corrected
+    J_hat = (agree - 1/4)/(3/4), must track exact Jaccard on the planted
+    near-dup pairs. Planted pairs sit at high J where the collision term
+    contributes little variance (p = C + (1-C)J -> 1), so the measured
+    error is close to the full-width family's: n=118 pairs, mae 0.0178,
+    maxerr 0.0903, bias +0.0083 — bounds keep >= 2x margin. The
+    moderate-J regime's larger error is bounded by the driver contract
+    (queries.q_bbit_minhash_calibration, measured over LSH candidates)."""
+    import numpy as np
+
+    from libchunk_spark.functions.signatures import shingle_hashes_batch
+    from libchunk_spark.oracle import oracle_dup_pairs
+
+    rows = generate_corpus(n_files=300, seed=7)
+    ids = [r.file_id for r in rows]
+    contents = [r.content.encode() for r in rows]
+    orc = oracle_dup_pairs(ids, contents, CFG)
+    assert len(orc.jaccards) >= 10
+    sets = dict(zip(ids, shingle_hashes_batch(contents, CFG.shingle)))
+    sigs = {i: minhash_signature(sets[i], CFG.signature) for i in ids}
+    c = 0.25
+    errs = np.array(
+        [
+            (float(((sigs[a] & 3) == (sigs[b] & 3)).mean()) - c) / (1 - c) - j
+            for (a, b), j in orc.jaccards.items()
+        ]
+    )
+    mae = float(np.abs(errs).mean())
+    maxerr = float(np.abs(errs).max())
+    bias = float(errs.mean())
+    assert mae <= 0.10, f"b-bit mae {mae:.4f} > 0.10"
+    assert maxerr <= 0.40, f"b-bit maxerr {maxerr:.4f} > 0.40"
+    assert abs(bias) <= 0.03, f"b-bit bias {bias:+.4f} outside ±0.03"
+
+
 def test_minhash_prod_perms_are_minwise():
     """Min-wise spot guard on the production mod-2^64 family: the r6 defect
     class was perms that never wrap and therefore all preserve raw-hash
