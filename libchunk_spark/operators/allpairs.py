@@ -14,7 +14,8 @@ table:
   intersection would fit inside a suffix smaller than t*|d|);
 * candidates = equality self-join of the prefix table on token (plus the
   size-ratio filter t*|A| <= |B| <= |A|/t, a consequence of
-  |A∩B| <= min and |A∪B| >= max);
+  |A∩B| <= min and |A∪B| >= max, and PPJoin's positional filter — see
+  prefix_candidates);
 * verify = exact Jaccard on the candidates only, from per-doc sorted token
   arrays (row-local array_intersect — no further shuffle of token rows).
 
@@ -38,13 +39,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def prefix_candidates(tokens: DataFrame, threshold: float) -> DataFrame:
+def prefix_candidates(
+    tokens: DataFrame, threshold: float, positional: bool = True
+) -> DataFrame:
     """Candidate pairs (a, b, na, nb) from the prefix-filter join.
 
     `tokens` must be a distinct (doc_id, tok) table. Superset of the true
     result set (completeness is the pigeonhole argument above); callers
     verify with exact Jaccard. Exposed separately so tests can measure
     pruning effectiveness.
+
+    `positional=True` adds PPJoin's positional filter (Xiao, Wang, Lin &
+    Yu, WWW 2008): a shared token at rank i of A and j of B bounds the
+    overlap from that token onward by min(|A|-i, |B|-j) + 1; J >= t needs
+    |A∩B| >= t/(1+t)*(|A|+|B|), so rows whose bound can't reach that are
+    dropped BEFORE the distinct. Completeness survives per-row filtering:
+    for the globally FIRST common token the bound equals |A∩B| itself, so
+    a qualifying pair's first-common-token row always passes. The filter
+    only shrinks the candidate set — the verified result is identical
+    (equality pytest) — so the SQL oracle keeps the plain prefix join.
     """
     sizes = tokens.groupBy("doc_id").agg(F.count("*").alias("sz"))
     df = tokens.groupBy("tok").agg(F.count("*").alias("df"))
@@ -55,16 +68,33 @@ def prefix_candidates(tokens: DataFrame, threshold: float) -> DataFrame:
         .join(sizes, "doc_id")
     )
     prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    prefix = ranked.where(F.col("rn") <= prefix_len).select("doc_id", "tok", "sz")
+    prefix = ranked.where(F.col("rn") <= prefix_len).select(
+        "doc_id", "tok", "sz", "rn"
+    )
     l, r = prefix.alias("l"), prefix.alias("r")
+    cond = (
+        (F.col("l.doc_id") < F.col("r.doc_id"))
+        # size-ratio filter: J(A,B) >= t forces t <= |A|/|B| <= 1/t
+        & (F.col("r.sz") >= F.lit(threshold) * F.col("l.sz"))
+        & (F.col("l.sz") >= F.lit(threshold) * F.col("r.sz"))
+    )
+    if positional:
+        # overlap upper bound from this shared token onward vs the overlap
+        # J >= t requires; float t/(1+t) is a VALID (if non-dyadic) lower
+        # bound on the required overlap — Spark-side only, result-preserving
+        required = F.lit(threshold / (1.0 + threshold)) * (
+            F.col("l.sz") + F.col("r.sz")
+        )
+        upper = (
+            F.least(
+                F.col("l.sz") - F.col("l.rn"), F.col("r.sz") - F.col("r.rn")
+            )
+            + 1
+        )
+        cond = cond & (upper >= required)
     return (
         l.join(r, "tok")
-        .where(
-            (F.col("l.doc_id") < F.col("r.doc_id"))
-            # size-ratio filter: J(A,B) >= t forces t <= |A|/|B| <= 1/t
-            & (F.col("r.sz") >= F.lit(threshold) * F.col("l.sz"))
-            & (F.col("l.sz") >= F.lit(threshold) * F.col("r.sz"))
-        )
+        .where(cond)
         .select(
             F.col("l.doc_id").alias("a"),
             F.col("r.doc_id").alias("b"),

@@ -142,6 +142,25 @@ def test_allpairs_prefix_actually_prunes(spark):
     assert true_pairs <= cand_pairs
 
 
+def test_ppjoin_positional_filter_preserves_results(spark):
+    """The positional filter may only SHRINK the candidate set — the
+    brute-force pair set must still be covered (the first-common-token
+    row's bound equals the true overlap, so qualifying pairs always keep
+    at least one row)."""
+    docs, toks = _random_token_table(spark, seed=11, n_docs=50)
+    s_on = {
+        (r["a"], r["b"])
+        for r in prefix_candidates(toks, 0.5, positional=True).collect()
+    }
+    s_off = {
+        (r["a"], r["b"])
+        for r in prefix_candidates(toks, 0.5, positional=False).collect()
+    }
+    assert s_on <= s_off
+    expected = _brute_jaccard_pairs(docs, 0.5)
+    assert set(expected) <= s_on
+
+
 # ------------------------------------------------- semantic decontamination
 
 
