@@ -14,10 +14,55 @@ levels is produced by jobs/scaling_bench.py (writes BENCH/BASELINE.md).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
 import time
+
+# The scaling gate rides on the local[2]-vs-local[8] shape ONLY
+# (jobs/scaling_bench.py GATE_N); wider footprints (n=4, executor counts)
+# are curve points with a different host envelope.
+GATE_N = 2
+
+
+def scaling_fields(bench_dir: str) -> dict:
+    """Gate-vs-curve discipline for the emitted scaling numbers.
+
+    The scaling_efficiency_* fields must carry the GATE-shape (n=GATE_N)
+    measurement only. A wider-footprint curve run (e.g. n=4) also writes
+    BENCH/scaling.json, and blindly forwarding it here once rendered the
+    0.667 n=4 curve point in a field read against the >=0.8 gate. Pick the
+    newest artifact whose recorded n matches the gate shape; a non-gate
+    scaling.json is reported under curve-named fields instead.
+    """
+    out: dict = {}
+    candidates = []
+    for fn in glob.glob(os.path.join(bench_dir, "scaling*.json")):
+        try:
+            with open(fn) as f:
+                s = json.load(f)
+        except (OSError, ValueError):
+            continue
+        # pre-GATE_N artifacts carry no "n" field and are all gate-shaped
+        if isinstance(s, dict) and "efficiency_chunk_sign" in s:
+            candidates.append((os.path.getmtime(fn), fn, s))
+    gate_runs = [c for c in candidates if c[2].get("n", GATE_N) == GATE_N]
+    if gate_runs:
+        _, fn, s = max(gate_runs)
+        out["scaling_efficiency_chunk_sign"] = s["efficiency_chunk_sign"]
+        out["scaling_efficiency_total"] = s["efficiency_total"]
+        out["scaling_gate_shape"] = f"local[{GATE_N}] vs local[{4 * GATE_N}]"
+        out["scaling_artifact"] = os.path.basename(fn)
+    latest_path = os.path.join(bench_dir, "scaling.json")
+    if os.path.exists(latest_path):
+        with open(latest_path) as f:
+            s = json.load(f)
+        if s.get("n", GATE_N) != GATE_N:
+            out["scaling_curve_n"] = s["n"]
+            out["scaling_curve_efficiency_chunk_sign"] = s["efficiency_chunk_sign"]
+            out["scaling_curve_efficiency_total"] = s["efficiency_total"]
+    return out
 
 
 def main() -> None:
@@ -309,13 +354,8 @@ def main() -> None:
         "canary_start": canary_start,
         "canary_end": canary(),
     }
-    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "BENCH", "scaling.json")
-    if os.path.exists(scaling_path):
-        with open(scaling_path) as f:
-            s = json.load(f)
-        out["scaling_efficiency_chunk_sign"] = s["efficiency_chunk_sign"]
-        out["scaling_efficiency_total"] = s["efficiency_total"]
+    out.update(scaling_fields(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")))
     print(json.dumps(out))
     spark.stop()
 
