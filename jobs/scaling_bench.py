@@ -823,6 +823,16 @@ curve, never as the gate:
 |---|---|---|---|
 {curve_rows}
 """
+    # The lead H2 must say what THIS session's table IS: a curve-shaped run
+    # under a "Gate verdict" heading misreads at a skim even with the
+    # in-table CURVE label (the r7 n=4 regeneration demonstrated it).
+    lead_h2 = (
+        "Gate verdict: median of interleaved paired ratios"
+        if is_gate_run
+        else f"This session: local[{n}]-vs-local[{4*n}] CURVE measurement "
+        "(median of interleaved paired ratios; gate verdict in the "
+        "adjudication below)"
+    )
     md = f"""# BENCH/BASELINE — measured scaling evidence
 
 Same job (fused single-pass chunk+sign -> LSH/SimHash edges -> connected
@@ -830,7 +840,7 @@ components), same input ({rn['files']} synthetic source files, {rn['mb']} MB,
 seed 42, read from parquet), two parallelism levels — the sandbox stand-in
 for N vs 4N executor clusters (BASELINE.md scaling row).
 
-## Gate verdict: median of interleaved paired ratios
+## {lead_h2}
 
 The two levels run as ADJACENT PAIRS — local[{n}] then local[{4*n}],
 back-to-back, {repeats}x in one loadavg-gated window — so both sides of each
