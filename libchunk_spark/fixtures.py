@@ -169,11 +169,16 @@ def corpus_to_spark(spark, rows: list[CorpusRow]):
 
 
 def documents_as_corpus(spark, sf_dir: str):
-    """Driver `documents` table mapped to the corpus shape (FIXTURES.md §6)."""
+    """Driver `documents` table mapped to the corpus shape (FIXTURES.md §6).
+
+    Scans via read_parallel: the single-row-group file otherwise feeds the
+    signature UDF one partition (single-task map side)."""
     from pyspark.sql import functions as F
 
+    from libchunk_spark.scan import read_parallel
+
     return (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        read_parallel(spark, f"{sf_dir}/documents.parquet")
         .select(
             F.col("doc_id").alias("file_id"),
             F.col("source").alias("repo"),

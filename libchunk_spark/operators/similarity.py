@@ -65,6 +65,13 @@ def brute_force_pairs(
     norms = np.sqrt((mat * mat).sum(axis=1))
     bc = spark.sparkContext.broadcast((ids, mat, norms))
 
+    # round4(x) >= t iff x >= t - 5e-5 (half-away-from-zero); prefilter on
+    # the raw sims with a 1e-6 fp-noise margin, then round ONLY the
+    # survivors and re-check exactly — byte-identical output, but the
+    # 5-op rounding chain and the boolean temps run over the (few)
+    # survivors instead of the full |batch| x n matrix.
+    cut = threshold - 5.1e-5
+
     def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         b_ids, b_mat, b_norms = bc.value
         for pdf in batches:
@@ -72,12 +79,18 @@ def brute_force_pairs(
                 continue
             v = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
             vn = np.sqrt((v * v).sum(axis=1))
-            sims = _round4((v @ b_mat.T) / np.outer(vn, b_norms))
+            raw = v @ b_mat.T
+            raw /= vn[:, None]  # in place: no |batch| x n outer temp
+            raw /= b_norms[None, :]
             a_ids = pdf["vec_id"].to_numpy()
-            li, ri = np.nonzero(
-                (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
+            mask = raw >= cut
+            mask &= a_ids[:, None] < b_ids[None, :]
+            li, ri = np.nonzero(mask)
+            sims = _round4(raw[li, ri])
+            keep = sims >= threshold
+            yield pd.DataFrame(
+                {"a": a_ids[li][keep], "b": b_ids[ri][keep], "sim": sims[keep]}
             )
-            yield pd.DataFrame({"a": a_ids[li], "b": b_ids[ri], "sim": sims[li, ri]})
 
     return emb.select("vec_id", "embedding").mapInPandas(
         block, "a long, b long, sim double"
@@ -436,6 +449,8 @@ def ivf_pairs(
     centroids = _train(emb, n_cells, iters, seed, train)
     assigned = ivf_assign(emb, centroids, nprobe=nprobe)
 
+    cut = threshold - 5.1e-5  # see brute_force_pairs: round survivors only
+
     def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
             return pd.DataFrame(columns=["a", "b", "sim"]).astype(
@@ -443,10 +458,18 @@ def ivf_pairs(
             )
         v = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
         n = np.sqrt((v * v).sum(axis=1)) + 1e-12
-        sims = _round4((v @ v.T) / np.outer(n, n))
+        raw = v @ v.T
+        raw /= n[:, None]
+        raw /= n[None, :]
         ids = pdf["vec_id"].to_numpy()
-        li, ri = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
-        return pd.DataFrame({"a": ids[li], "b": ids[ri], "sim": sims[li, ri]})
+        mask = raw >= cut
+        mask &= ids[:, None] < ids[None, :]
+        li, ri = np.nonzero(mask)
+        sims = _round4(raw[li, ri])
+        keep = sims >= threshold
+        return pd.DataFrame(
+            {"a": ids[li][keep], "b": ids[ri][keep], "sim": sims[keep]}
+        )
 
     return (
         # explicit count: AQE would coalesce this small-bytes shuffle and

@@ -32,15 +32,28 @@ class SplitResult:
     file_keys: DataFrame  # (file_id, content_sha256, n_chunks, keys[])
 
 
-def split(corpus: DataFrame, cfg: ChunkerConfig, keep_payload: bool = True) -> SplitResult:
+def split(
+    corpus: DataFrame,
+    cfg: ChunkerConfig,
+    keep_payload: bool = True,
+    materialize: bool = False,
+) -> SplitResult:
     """Chunk every corpus row; build the chunk index and per-file key lists.
 
     corpus must have (file_id, content). k = sha256(chunk bytes) hex,
     mirroring KeyHash=sha256 (bits/config.go:42-44).
-    """
+
+    materialize=True localCheckpoints the chunk rows before the derived
+    frames are built: chunk_index exchanges on k and file_keys on file_id,
+    so exchange reuse never dedupes them and a consumer that touches both
+    pays the chunker UDF once per branch (2x measured in round_trip_sha /
+    containment_pairs). The checkpoint is the in-query analog of the
+    pipeline's materialized chunk stage table."""
     gen = make_chunk_rows_generator(cfg, with_payload=keep_payload)
     schema = CHUNK_ROWS_SCHEMA_PAYLOAD if keep_payload else CHUNK_ROWS_SCHEMA
     chunks = corpus.select("file_id", "content").mapInPandas(gen, schema)
+    if materialize:
+        chunks = chunks.localCheckpoint()
 
     # idempotent-put semantics (bits/store/bolt.go:52-55): one row per k
     index_cols = ["k", "length", "cut_fp"] + (["chunk"] if keep_payload else [])

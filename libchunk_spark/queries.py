@@ -15,12 +15,13 @@ and are registered without an oracle (rows-only check).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from libchunk_spark.config import DOCS_CONFIG
 from libchunk_spark.operators.assemble import assemble
 from libchunk_spark.operators.split import split
+from libchunk_spark.scan import read_parallel
 
 # ---------------------------------------------------------------- constants
 
@@ -68,11 +69,18 @@ COSINE_THRESHOLD = 0.3  # ~99th pct of the driver embeddings' pair sims
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_parallel(spark, f"{sf_dir}/documents.parquet")
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+def _emb(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+    """spread=False skips the scan-parallelism repartition: right for
+    consumers whose FIRST operation is itself a shuffle (e.g. the sign-LSH
+    bucket window) — there the spread just moves the payload twice
+    (measured +36% on ann_signlsh at 10x scale), while map-heavy consumers
+    (matmul/encode UDFs) win big from it."""
+    if not spread:
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return read_parallel(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def _docs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,9 +95,15 @@ def _tokens():
     return F.split(F.col("text"), " ")
 
 
-def _grams3():
-    """word 3-gram array (distinct), empty when < 3 tokens"""
-    t = _tokens()
+def _grams3_of(t: Column) -> Column:
+    """word 3-gram array (distinct), empty when < 3 tokens, built from an
+    ALREADY-MATERIALIZED token-array column. Catalyst performs no common-
+    subexpression elimination inside higher-order-function lambdas, so if
+    `t` is the inline split(text) expression the transform lambda re-splits
+    the ENTIRE text once per gram — O(tokens^2) characters per doc (the
+    winnowing O(n^2) md5 lesson, CLAUDE.md). Callers stage the token array
+    with _gram_rows; the multiply-referenced non-cheap alias also blocks
+    CollapseProject from fusing the split back into the lambda."""
     return F.when(
         F.size(t) >= 3,
         F.array_distinct(
@@ -99,6 +113,23 @@ def _grams3():
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _grams3():
+    """Single-expression word-3gram array (tests/short texts only — in a
+    query use _gram_rows: this inline form re-splits per gram, see
+    _grams3_of)."""
+    return _grams3_of(_tokens())
+
+
+def _gram_rows(df: DataFrame, *cols: str) -> DataFrame:
+    """(cols..., gram) exploded distinct word-3grams of df.text with the
+    token array staged as its own projection first (split runs once per
+    doc, not once per gram)."""
+    staged = df.select(*cols, _tokens().alias("_t"))
+    return staged.select(
+        *cols, F.explode(_grams3_of(F.col("_t"))).alias("gram")
+    )
 
 # portable 60-bit gram hash: first 15 hex chars of md5 (identical in DuckDB)
 def _h60(col):
@@ -146,6 +177,10 @@ def q_round_trip_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole put/get path end-to-end (bits/get_test.go:182-191 analog).
     """
     corpus = _docs_corpus(spark, sf_dir)
+    # materialize=False: A/B'd neutral here (5.2 s vs 5.3 s at 10x scale)
+    # — the assembly join dominates, and storing chunk payloads costs as
+    # much as the second chunker pass saves (containment_pairs, whose
+    # derived corpus is 4x-instantiated, is where materialize pays).
     res = split(corpus, DOCS_CONFIG.chunk)
     ar = assemble(res.file_keys, res.chunk_index)
     return ar.assembled.select(
@@ -295,10 +330,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    grams_all = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.explode(_grams3()).alias("gram"))
-    )
+    grams_all = _gram_rows(_docs(spark, sf_dir), "doc_id")
     # _grams3 is array_distinct per doc, so count over the gram partition
     # == document frequency
     grams = (
@@ -371,10 +403,7 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    grams_all = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.explode(_grams3()).alias("gram"))
-    )
+    grams_all = _gram_rows(_docs(spark, sf_dir), "doc_id")
     grams = (
         grams_all.withColumn(
             "df", F.count("*").over(Window.partitionBy("gram"))
@@ -435,7 +464,7 @@ def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the constants fold into the expressions). Map-side partial aggregation
     reduces each partition to one row per doc before the wire.
     """
-    grams = _docs(spark, sf_dir).select("doc_id", F.explode(_grams3()).alias("gram"))
+    grams = _gram_rows(_docs(spark, sf_dir), "doc_id")
     h31 = (_h60(F.col("gram")) % F.lit(MH_PRIME)).alias("h31")
     aggs = [
         F.min(
@@ -443,6 +472,10 @@ def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"mh{i}")
         for i, a, b in _perm_constants()
     ]
+    # sz = |distinct gram set| (grams are per-doc distinct already): a
+    # 17th aggregate in the SAME shuffle, so calibration consumers get
+    # set sizes without a second gram explode
+    aggs.append(F.count("*").alias("sz"))
     return grams.select("doc_id", h31).groupBy("doc_id").agg(*aggs)
 
 
@@ -515,7 +548,12 @@ MIN_SHARED_BANDS = 2
 def _band_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band, band_sig) — one md5 signature per band off the wide
     MinHash row; shared by q_lsh_band_pairs and q_supershingle_pairs."""
-    wide = _minhash_wide(spark, sf_dir)
+    return _band_sigs_of(_minhash_wide(spark, sf_dir))
+
+
+def _band_sigs_of(wide: DataFrame) -> DataFrame:
+    """band signatures from an existing wide-MinHash frame (callers that
+    also join the mh columns checkpoint `wide` once and derive both)."""
     n_bands = N_PERMS_SQL // BAND_ROWS_SQL
     sigs = [
         F.md5(
@@ -590,7 +628,7 @@ def q_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition to one row per doc), then the sign bits assemble in a single
     projection. Same math as the oracle's unnest(range(32)) formulation.
     """
-    grams = _docs(spark, sf_dir).select("doc_id", F.explode(_grams3()).alias("gram"))
+    grams = _gram_rows(_docs(spark, sf_dir), "doc_id")
     hashed = grams.select("doc_id", _h60(F.col("gram")).alias("h"))
     votes = [
         F.sum(
@@ -797,8 +835,8 @@ def q_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from libchunk_spark.operators.similarity import signlsh_pairs
 
     return signlsh_pairs(
-        _emb(spark, sf_dir), COSINE_THRESHOLD, n_bits=8, n_tables=1,
-        bucket_cap=4096,
+        _emb(spark, sf_dir, spread=False), COSINE_THRESHOLD, n_bits=8,
+        n_tables=1, bucket_cap=4096,
     )
 
 
@@ -1215,8 +1253,10 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    t = _tokens()
+    t = F.col("_t")
     bigrams = _docs(spark, sf_dir).select(
+        "doc_id", _tokens().alias("_t")
+    ).select(
         "doc_id",
         F.explode(
             F.when(
@@ -1318,9 +1358,12 @@ def q_decontam_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     on doc_id (bounded by corpus row count, not shingle count).
     """
     docs = _docs(spark, sf_dir)
-    t = _tokens()
     w = DECONTAM_W
-    grams = docs.select(
+    # token array staged as a column: the slice lambda must not re-split
+    # the text per shingle (no CSE inside HOF lambdas, see _grams3_of)
+    staged = docs.select("doc_id", _tokens().alias("_t"))
+    t = F.col("_t")
+    grams = staged.select(
         "doc_id",
         F.explode(
             F.when(
@@ -1540,8 +1583,8 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         verify_containment,
     )
 
-    corpus = _containment_corpus(spark, sf_dir)
-    res = split(corpus, DOCS_CONFIG.chunk)
+    corpus = _containment_corpus(spark, sf_dir).localCheckpoint()
+    res = split(corpus, DOCS_CONFIG.chunk, materialize=True)
     cands = containment_candidates(
         res.chunks, res.file_keys, containment_frac=0.3, key_freq_cap=256
     )
@@ -2258,11 +2301,7 @@ def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc count); the distinct() partial-aggregates map-side before the
     gram shuffle. At very large source counts the same NGRAM_DF_CAP
     discipline (or per-source MinHash via operators/sign.py) bounds it."""
-    grams = (
-        _docs(spark, sf_dir)
-        .select("source", F.explode(_grams3()).alias("gram"))
-        .distinct()
-    )
+    grams = _gram_rows(_docs(spark, sf_dir), "source").distinct()
     sizes = grams.groupBy("source").agg(F.count("*").alias("sz"))
     inter = (
         grams.alias("l")
@@ -2548,8 +2587,12 @@ def q_lsh_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan each and the tp join is pair-key equi — no new blowup beyond
     the ground truth itself.
     """
-    truth = q_ngram_jaccard_pairs(spark, sf_dir).select("a", "b")
-    cand = q_lsh_band_pairs(spark, sf_dir).select("a", "b")
+    # each side feeds the tp join AND its own count — without a
+    # checkpoint the whole ngram / banding pipeline runs twice per side
+    truth = (
+        q_ngram_jaccard_pairs(spark, sf_dir).select("a", "b").localCheckpoint()
+    )
+    cand = q_lsh_band_pairs(spark, sf_dir).select("a", "b").localCheckpoint()
     tp = truth.join(cand, ["a", "b"]).agg(F.count("*").alias("tp"))
     nt = truth.agg(F.count("*").alias("n_truth"))
     nc = cand.agg(F.count("*").alias("n_cand"))
@@ -3618,8 +3661,19 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh_eval_metrics. Estimates join as ONE wide row per doc (mh0..mh15,
     no 16x explosion).
     """
-    pairs = q_lsh_band_pairs(spark, sf_dir)  # (a, b), bounded
-    wide = _minhash_wide(spark, sf_dir)
+    # ONE wide-MinHash pass: the band self-join and both est-join sides
+    # exchange on different keys ((band, band_sig) / a / b), so without a
+    # checkpoint the gram-explode + md5 + 16-min aggregation subplan runs
+    # three times (no exchange reuse across different partitionings).
+    wide = _minhash_wide(spark, sf_dir).localCheckpoint()
+    bands = _band_sigs_of(wide)
+    l, r = bands.alias("l"), bands.alias("r")
+    pairs = (
+        l.join(r, ["band", "band_sig"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )  # == q_lsh_band_pairs over the same wide frame
     wa = wide.select(
         F.col("doc_id").alias("a"),
         *[F.col(f"mh{i}").alias(f"xa{i}") for i in range(N_PERMS_SQL)],
@@ -3640,8 +3694,12 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact Jaccard over the SAME sets the signature hashed: uncapped
     # distinct 3-grams (ngram_jaccard_pairs df-caps; the signature does
     # not, so the calibration must not either)
-    grams = _docs(spark, sf_dir).select("doc_id", F.explode(_grams3()).alias("gram"))
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    grams = _gram_rows(_docs(spark, sf_dir), "doc_id")
+    # |gram set| comes off the checkpointed wide row (same count as a
+    # groupBy over grams — _minhash_wide aggregates the identical distinct
+    # gram stream), so the explode runs only for the intersection join
+    # (whose l/r sides share one exchange on gram).
+    sizes = wide.select("doc_id", "sz")
     l, r = grams.alias("l"), grams.alias("r")
     inter = (
         l.join(r, "gram")
@@ -3833,8 +3891,17 @@ def _minhash_prod_scored(spark, sf_dir, agree_fn, correction=None):
     from libchunk_spark.operators.sign import sign
 
     corpus = documents_as_corpus(spark, sf_dir)
-    sigs = sign(corpus, DOCS_CONFIG)
-    pairs = minhash_candidate_edges(sigs, DOCS_CONFIG).select("a", "b")
+    # materialize the signature pass once: sigs feeds the candidate edges
+    # AND both est-join sides, whose exchanges hash on different keys
+    # (band_sig / a / b) so exchange reuse never dedupes them — without
+    # the checkpoint the signature UDF re-runs once per instantiation
+    # (3x measured). Bounded: one row per doc (128 longs + bands).
+    sigs = sign(corpus, DOCS_CONFIG).localCheckpoint()
+    pairs = (
+        minhash_candidate_edges(sigs, DOCS_CONFIG)
+        .select("a", "b")
+        .localCheckpoint()  # reused by est AND cand_docs (different keys)
+    )
     nperm = DOCS_CONFIG.signature.num_perms
     ma = sigs.select(F.col("file_id").alias("a"), F.col("minhash").alias("ma"))
     mb = sigs.select(F.col("file_id").alias("b"), F.col("minhash").alias("mb"))
@@ -3860,6 +3927,10 @@ def _minhash_prod_scored(spark, sf_dir, agree_fn, correction=None):
         .mapInPandas(
             make_shingle_rows_generator(DOCS_CONFIG.shingle), SHINGLE_ROWS_SCHEMA
         )
+        # sizes exchanges on file_id, the self-join on sh — no reuse
+        # between them, so the shingle UDF would run the candidate docs
+        # twice; one bounded materialization (candidate docs only).
+        .localCheckpoint()
     )
     sizes = sh.groupBy("file_id").agg(F.count("*").alias("sz"))
     inter = (
@@ -3964,9 +4035,9 @@ WJAC_DF_CAP = 64  # gram document-frequency cap (same role as NGRAM_DF_CAP)
 WJAC_THRESHOLD = 0.4
 
 
-def _grams3_all():
-    """word 3-gram array WITH repeats (the multiset _grams3 distincts)"""
-    t = _tokens()
+def _grams3_all_of(t: Column) -> Column:
+    """word 3-gram array WITH repeats (the multiset _grams3_of distincts),
+    from an already-materialized token-array column (see _grams3_of)."""
     return F.when(
         F.size(t) >= 3,
         F.transform(
@@ -3974,6 +4045,12 @@ def _grams3_all():
             lambda i: F.concat_ws(" ", F.slice(t, i + 1, 3)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _grams3_all():
+    """single-expression multiset-3gram form (tests/short texts only —
+    re-splits per gram, see _grams3_of)"""
+    return _grams3_all_of(_tokens())
 
 
 def _tf_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3992,7 +4069,8 @@ def _tf_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tf = (
         _docs(spark, sf_dir)
-        .select("doc_id", F.explode(_grams3_all()).alias("tok"))
+        .select("doc_id", _tokens().alias("_t"))
+        .select("doc_id", F.explode(_grams3_all_of(F.col("_t"))).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
     )
@@ -4106,9 +4184,8 @@ def q_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs."""
     from libchunk_spark.operators.allpairs import allpairs_jaccard
 
-    toks = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.explode(_grams3()).alias("tok"))
+    toks = _gram_rows(_docs(spark, sf_dir), "doc_id").withColumnRenamed(
+        "gram", "tok"
     )
     return allpairs_jaccard(toks, ALLPAIRS_THRESHOLD).select("a", "b", "jac")
 
@@ -4219,6 +4296,10 @@ def q_wminhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         _weighted_pair_scores(tf)
         .where(F.col("wjac") >= ICWS_CAL_MIN)
         .select("a", "b", "wjac")
+        # reused by cand_docs AND the est join (different keys, no
+        # exchange reuse): without this the whole weighted-pair pipeline
+        # runs twice. Bounded: pairs past the wjac floor.
+        .localCheckpoint()
     )
     # sample ONLY candidate docs (semi-join prune, the prod-calibration
     # shape): Catalyst instantiates the sampling subplan once per join
@@ -4232,6 +4313,10 @@ def q_wminhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     sam = (
         grouped.join(cand_docs, "doc_id", "left_semi")
         .select("doc_id", icws_udf("ths", "tfs").alias("s"))
+        # NOT checkpointed: the sa/sb joins instantiate this twice, but
+        # the semi-join prune keeps each instance O(candidates) (plan-
+        # asserted in tests/test_queries_batch6.py) and the checkpointed
+        # `pairs` above already removed the dominant duplication.
     )
     agree = F.aggregate(
         F.zip_with("sa", "sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
@@ -4359,8 +4444,13 @@ def q_ctph_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # digests) with a 3-gram precondition is the scaled-down analog of
     # the production put-path chunk table (~30-100 codes, ngram 7)
     corpus = documents_as_corpus(spark, sf_dir)
-    dig = ctph_digests(corpus, DOCS_CONFIG.shingle)
-    pairs = ctph_pairs(dig, min_sim=CTPH_MIN_SIM, ngram=3)
+    # dig feeds the pair grams, dig_agg and the exact-pair length probe;
+    # pairs feeds pair_agg and exact_agg — all on different keys, so
+    # without checkpoints the chunker+digest subtree runs 3x and the
+    # levenshtein pair pipeline 2x. Both frames are tiny (<= 128-char
+    # digest / scored pair rows).
+    dig = ctph_digests(corpus, DOCS_CONFIG.shingle).localCheckpoint()
+    pairs = ctph_pairs(dig, min_sim=CTPH_MIN_SIM, ngram=3).localCheckpoint()
     pair_agg = pairs.agg(
         F.count("*").alias("n_pairs"),
         F.min("sim").alias("min_sim"),
@@ -4470,9 +4560,7 @@ def q_rename_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0).alias("sim"),
         )
     )
-    grams_all = docs.select(
-        "doc_id", "sha", F.explode(_grams3()).alias("gram")
-    )
+    grams_all = _gram_rows(docs, "doc_id", "sha")
     grams = (
         grams_all.withColumn(
             "df", F.count("*").over(Window.partitionBy("gram"))

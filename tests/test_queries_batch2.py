@@ -42,10 +42,19 @@ def test_winnow_fingerprints_plan_is_exchange_free_and_hashes_once(spark):
     (2) the md5 gram hashing appears exactly ONCE — the staged
     projections block CollapseProject from fusing selection back into
     the O(n^2)-md5 single-expression form (operators/winnow.py docstring;
-    the fused form measured 145 s vs ~2 s at sf0.01)."""
+    the fused form measured 145 s vs ~2 s at sf0.01).
+
+    The only Exchange allowed is the scan-parallelism round-robin
+    repartition (scan.read_parallel, r8): an input-size-derived map-side
+    spread below the selection, NOT a shuffle the winnowing algorithm
+    requires — at real input sizes read_parallel adds no exchange at all
+    and the plan is scan + project only."""
     df = Q.q_winnow_fingerprints(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan
+    n_exchanges = plan.count("Exchange")
+    n_scan_spread = plan.count("Exchange RoundRobinPartitioning")
+    assert n_exchanges == n_scan_spread, plan
+    assert "hashpartitioning" not in plan, plan
     assert plan.count("md5") == 1, plan
 
 

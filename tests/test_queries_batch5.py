@@ -124,7 +124,12 @@ def test_passage_windows_synthetic_layouts(spark, tmp_path):
 def test_passage_windows_corpus_coverage_and_maponly_plan(spark):
     df = Q.q_passage_windows(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, "passage extraction must stay map-only"
+    # the only allowed exchange is the scan-parallelism round-robin spread
+    # (scan.read_parallel, r8) — no algorithmic shuffle
+    assert "hashpartitioning" not in plan, "passage extraction must stay map-only"
+    assert plan.count("Exchange") == plan.count(
+        "Exchange RoundRobinPartitioning"
+    ), plan
     toks = Q.q_token_stats(spark, SF).select("doc_id", "n_tokens")
     agg = (
         df.groupBy("doc_id")

@@ -197,7 +197,12 @@ def test_semantic_decontam_is_map_only(spark):
     even the distinct)."""
     df = Q.q_semantic_decontam_flags(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan
+    # scan-parallelism round-robin spread (scan.read_parallel, r8) is the
+    # only exchange allowed — the corpus still never shuffles by key
+    assert "hashpartitioning" not in plan, plan
+    assert plan.count("Exchange") == plan.count(
+        "Exchange RoundRobinPartitioning"
+    ), plan
     n_corpus = (
         spark.read.parquet(f"{SF}/embeddings.parquet")
         .where(F.col("vec_id") % 50 != 0)
