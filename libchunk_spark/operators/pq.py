@@ -87,8 +87,14 @@ def pq_train(
         x = mat[:, j * sub : (j + 1) * sub]
         k = min(n_codes, len(x))
         c = x[rng.choice(len(x), size=k, replace=False)]
+        x2 = (x * x).sum(axis=1)[:, None]  # |x|^2 once per subspace
         for _ in range(iters):
-            d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            # argmin over |x-c|^2 = |x|^2 - 2<x,c> + |c|^2 via one matmul
+            # instead of the (n, k, sub) broadcast temp — same argmin (the
+            # forms differ by last-ulp rounding only), ~20x fewer
+            # element-ops in this driver-side loop (guide §1.2: per-task
+            # work — the executors idle while this trains)
+            d = x2 - 2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
             a = np.argmin(d, axis=1)
             for ci in np.unique(a):  # empty cells keep their old centroid
                 c[ci] = x[a == ci].mean(axis=0)
@@ -115,7 +121,12 @@ def pq_encode(emb: DataFrame, codebooks: np.ndarray) -> DataFrame:
             codes = np.empty((len(v), m), dtype=np.int32)
             for j in range(m):
                 x = v[:, j * sub : (j + 1) * sub]
-                d = ((x[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                b = books[j]
+                d = (
+                    (x * x).sum(axis=1)[:, None]
+                    - 2.0 * (x @ b.T)
+                    + (b * b).sum(axis=1)[None, :]
+                )  # matmul form, see pq_train
                 codes[:, j] = np.argmin(d, axis=1)
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"].to_numpy(), "codes": list(codes)}

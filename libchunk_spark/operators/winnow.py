@@ -170,6 +170,7 @@ def winnow_pair_scores(
     w: int = WINNOW_W,
     df_cap: int = 64,
     hasher: str = "md5",
+    materialize: bool = False,
 ) -> DataFrame:
     """(a, b, shared, score) for document pairs sharing selected
     fingerprints; score = shared / min(|A|, |B|) (containment form — a
@@ -193,6 +194,12 @@ def winnow_pair_scores(
     fps_all = winnow_fingerprints(
         df, id_col=id_col, text_col=text_col, k=k, w=w, hasher=hasher
     )
+    if materialize:
+        # the df-cap window exchanges on fp, the sizes agg on the doc id —
+        # no exchange reuse between them, so the per-gram-hash fingerprint
+        # pipeline (the dominant cost) would run twice. One bounded
+        # materialization (the distinct (id, fp) rows) feeds both.
+        fps_all = fps_all.localCheckpoint()
     fps = (
         fps_all.withColumn("df", F.count("*").over(Window.partitionBy("fp")))
         .where(F.col("df") <= df_cap)

@@ -1050,7 +1050,11 @@ def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = topk_ivf(
         emb, queries, k=TOPK_K, n_cells=8, nprobe=5
     ).select("q", "cand")
-    exact = q_topk_similar(spark, sf_dir).select("q", "cand")
+    # exact ranking feeds the semi-join AND the n_exact count — without
+    # a checkpoint the full |queries| x n matmul + ranking window runs 2x
+    exact = (
+        q_topk_similar(spark, sf_dir).select("q", "cand").localCheckpoint()
+    )
     hits = exact.join(ivf, ["q", "cand"], "left_semi").agg(
         F.count("*").alias("n_hit")
     )
@@ -1100,7 +1104,11 @@ def q_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = pq_topk(
         emb, queries, k=TOPK_K, m=16, n_codes=64, shortlist=64
     ).select("q", "cand")
-    exact = q_topk_similar(spark, sf_dir).select("q", "cand")
+    # exact ranking feeds the semi-join AND the n_exact count — without
+    # a checkpoint the full |queries| x n matmul + ranking window runs 2x
+    exact = (
+        q_topk_similar(spark, sf_dir).select("q", "cand").localCheckpoint()
+    )
     hits = exact.join(pq, ["q", "cand"], "left_semi").agg(
         F.count("*").alias("n_hit")
     )
@@ -1133,7 +1141,11 @@ def q_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=TOPK_K, m=16, n_codes=64, shortlist=64,
         n_cells=8, nprobe=5,
     ).select("q", "cand")
-    exact = q_topk_similar(spark, sf_dir).select("q", "cand")
+    # exact ranking feeds the semi-join AND the n_exact count — without
+    # a checkpoint the full |queries| x n matmul + ranking window runs 2x
+    exact = (
+        q_topk_similar(spark, sf_dir).select("q", "cand").localCheckpoint()
+    )
     hits = exact.join(ivfpq, ["q", "cand"], "left_semi").agg(
         F.count("*").alias("n_hit")
     )
@@ -1831,7 +1843,7 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (count desc, ngram asc) tie-break. Scale shape: explode
     is map-side, the groupBy count is a partial-aggregate shuffle on the
     gram key, top-k is a TakeOrdered — no all-pairs anywhere."""
-    t = _tokens()
+    t = F.col("_t")
     grams = F.when(
         F.size(t) >= 5,
         F.array_distinct(
@@ -1843,6 +1855,9 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     return (
         _docs(spark, sf_dir)
+        # token array staged: the slice lambda must not re-split the text
+        # per 5-gram (no CSE inside HOF lambdas, see _grams3_of)
+        .select("doc_id", _tokens().alias("_t"))
         .select("doc_id", F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").alias("n_docs"))
@@ -2215,7 +2230,7 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return winnow_pair_scores(
         _docs(spark, sf_dir), id_col="doc_id", text_col="text",
-        df_cap=WINNOW_DF_CAP,
+        df_cap=WINNOW_DF_CAP, materialize=True,
     ).where(F.col("score") >= WINNOW_SCORE_THRESHOLD)
 
 
@@ -3402,7 +3417,7 @@ def passages_of(
     shared with the streaming maintainer
     (streaming/aggmaint.py::start_passage_maintenance) so batch and
     maintained tables agree by construction."""
-    t = F.split(F.col(text_col), " ")
+    t = F.col("_t")
     starts = F.sequence(
         F.lit(0),
         F.greatest(
@@ -3417,6 +3432,12 @@ def passages_of(
     return (
         docs.select(
             F.col(id_col).alias("doc_id"),
+            # staged token array: the window lambda must not re-split the
+            # text per passage (no CSE inside HOF lambdas, _grams3_of)
+            F.split(F.col(text_col), " ").alias("_t"),
+        )
+        .select(
+            "doc_id",
             F.size(t).alias("n_tokens"),
             F.posexplode(wins).alias("pidx", "passage"),
         )
@@ -3790,8 +3811,16 @@ def q_passage_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes; the delta never touches text.
     """
     p = q_passage_windows(spark, sf_dir).select("doc_id", "passage_sha")
-    old = p.where(F.col("doc_id") % 10 != 0).select("passage_sha").distinct()
-    new = p.where(F.col("doc_id") % 10 != 1).select("passage_sha").distinct()
+    # each snapshot feeds three set operations (anti x2 / semi); without a
+    # checkpoint the passage-extraction pipeline re-runs per consumer
+    old = (
+        p.where(F.col("doc_id") % 10 != 0)
+        .select("passage_sha").distinct().localCheckpoint()
+    )
+    new = (
+        p.where(F.col("doc_id") % 10 != 1)
+        .select("passage_sha").distinct().localCheckpoint()
+    )
     added = new.join(old, "passage_sha", "left_anti").agg(
         F.count("*").alias("n_shas")
     ).select(F.lit("added").alias("change"), "n_shas")
@@ -4120,6 +4149,10 @@ def q_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived from per-doc sizes so only the intersection shuffles, and the
     capped tf table's exchange is reused by both join sides."""
     return (
+        # NOT checkpointed: A/B'd 5.7 s lazy vs 6.4 s checkpointed at 10x
+        # scale — the tf re-instantiation for sizes is cheaper than
+        # materializing the 2.6M-row tf table (contrast wminhash_
+        # calibration, where THREE consumers flip the trade).
         _weighted_pair_scores(_tf_capped(spark, sf_dir))
         .where(F.col("wjac") >= WJAC_THRESHOLD)
         .select("a", "b", "wjac")
@@ -4184,8 +4217,14 @@ def q_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs."""
     from libchunk_spark.operators.allpairs import allpairs_jaccard
 
-    toks = _gram_rows(_docs(spark, sf_dir), "doc_id").withColumnRenamed(
-        "gram", "tok"
+    toks = (
+        _gram_rows(_docs(spark, sf_dir), "doc_id")
+        .withColumnRenamed("gram", "tok")
+        # the operator instantiates the token table under FIVE different
+        # keys (per-doc sizes, per-token df, the ranked join, and both
+        # verify-side collect_set aggregations) — exchange reuse dedupes
+        # none of them, so the gram explode would run ~5x.
+        .localCheckpoint()
     )
     return allpairs_jaccard(toks, ALLPAIRS_THRESHOLD).select("a", "b", "jac")
 
@@ -4262,7 +4301,9 @@ def q_wminhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from libchunk_spark.functions.signatures import icws_samples
 
-    tf = _tf_capped(spark, sf_dir)
+    # tf feeds the checkpointed pair pipeline and BOTH icws sample sides
+    # (sa/sb) — three instantiations on different keys without this
+    tf = _tf_capped(spark, sf_dir).localCheckpoint()
     grouped = (
         tf.select("doc_id", F.xxhash64("tok").alias("th"), "tf")
         .groupBy("doc_id")
@@ -4560,7 +4601,13 @@ def q_rename_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0).alias("sim"),
         )
     )
-    grams_all = _gram_rows(docs, "doc_id", "sha")
+    # gram rows carry only (doc_id, gram): shuffling the 64-char sha with
+    # every gram row tripled the exploded row width for a per-PAIR filter
+    # — the sha comparison moves to a post-aggregation join against the
+    # tiny (doc_id, sha) map instead (identical result: osha/nsha is
+    # constant within a pair, so filtering pairs after counting equals
+    # filtering rows before).
+    grams_all = _gram_rows(docs, "doc_id")
     grams = (
         grams_all.withColumn(
             "df", F.count("*").over(Window.partitionBy("gram"))
@@ -4570,16 +4617,26 @@ def q_rename_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
     go = grams.where(F.col("doc_id") % 2 == 1).select(
-        F.col("doc_id").alias("old_id"), F.col("sha").alias("osha"), "gram"
+        F.col("doc_id").alias("old_id"), "gram"
     )
     ga = grams.where(F.col("doc_id") % 2 == 0).select(
-        F.col("doc_id").alias("new_id"), F.col("sha").alias("nsha"), "gram"
+        F.col("doc_id").alias("new_id"), "gram"
     )
+    shas = docs.select("doc_id", "sha")
     inter = (
         go.join(ga, "gram")
-        .where(F.col("osha") != F.col("nsha"))
         .groupBy("old_id", "new_id")
         .agg(F.count("*").alias("i"))
+        .join(
+            shas.select(F.col("doc_id").alias("old_id"), F.col("sha").alias("osha")),
+            "old_id",
+        )
+        .join(
+            shas.select(F.col("doc_id").alias("new_id"), F.col("sha").alias("nsha")),
+            "new_id",
+        )
+        .where(F.col("osha") != F.col("nsha"))
+        .select("old_id", "new_id", "i")
     )
     edited = (
         inter.join(
