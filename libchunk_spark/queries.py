@@ -68,7 +68,14 @@ NGRAM_JACCARD_THRESHOLD = 0.2
 COSINE_THRESHOLD = 0.3  # ~99th pct of the driver embeddings' pair sims
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+    """spread=False skips the scan-parallelism repartition (see _emb):
+    right for queries whose map side is trivial (length stats, per-doc
+    sha, rank windows) or whose driver-visible count() is join-eliminated
+    down to the scan — there the spread exchange is pure added cost, while
+    gram/signature/UDF consumers win 2-10x from it."""
+    if not spread:
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
     return read_parallel(spark, f"{sf_dir}/documents.parquet")
 
 
@@ -83,8 +90,10 @@ def _emb(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     return read_parallel(spark, f"{sf_dir}/embeddings.parquet")
 
 
-def _docs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select(
+def _docs_corpus(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
+    return _docs(spark, sf_dir, spread=spread).select(
         F.col("doc_id").alias("file_id"), F.col("text").alias("content")
     )
 
@@ -152,7 +161,7 @@ _SQL_H60 = "CAST(('0x' || substr(md5(gram), 1, 15)) AS UBIGINT)::BIGINT"
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups by content sha256 (libchunk whole-stream identity)."""
     return (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, spread=False)
         .groupBy(F.sha2(F.encode("text", "UTF-8"), 256).alias("content_sha"))
         .agg(
             F.count("*").alias("n_files"),
@@ -1171,7 +1180,7 @@ def q_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     count covers ceil(total/max_size); the oracle emits `true`. Mirrors the
     reference's chunk-count bound test (bits/put_test.go:24-29)."""
     cfg = DOCS_CONFIG.chunk
-    corpus = _docs_corpus(spark, sf_dir)
+    corpus = _docs_corpus(spark, sf_dir, spread=False)
     res = split(corpus, cfg, keep_payload=False)
     per = res.chunks.groupBy("file_id").agg(
         F.count("*").alias("n_chunks"),
@@ -1250,7 +1259,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass of words occurring more than once. Training pipelines drop docs
     above thresholds on these before dedup even runs; identical math on
     both engines keeps the oracle byte-equal."""
-    words = _docs(spark, sf_dir).select(
+    words = _docs(spark, sf_dir, spread=False).select(
         "doc_id", F.explode(_tokens()).alias("w")
     )
     wstats = (
@@ -1266,7 +1275,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     t = F.col("_t")
-    bigrams = _docs(spark, sf_dir).select(
+    bigrams = _docs(spark, sf_dir, spread=False).select(
         "doc_id", _tokens().alias("_t")
     ).select(
         "doc_id",
@@ -1369,7 +1378,7 @@ def q_decontam_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus at any size; the contaminated-doc set collapses with a distinct
     on doc_id (bounded by corpus row count, not shingle count).
     """
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=False)
     w = DECONTAM_W
     # token array staged as a column: the slice lambda must not re-split
     # the text per shingle (no CSE inside HOF lambdas, see _grams3_of)
@@ -1821,7 +1830,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 2)
     rate = F.when(F.col("lang") == "en", F.lit("40")).otherwise(F.lit("80"))
     return (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, spread=False)
         .where(bucket < rate)
         .select("doc_id", "lang", bucket.alias("sample_bucket"))
     )
@@ -1924,7 +1933,7 @@ def q_top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").desc(), F.col("doc_id").asc()
     )
     return (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, spread=False)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
         .select("source", "rank", "doc_id", "n_chars")
@@ -2165,7 +2174,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs exactly once per doc (plan-asserted in tests/test_winnow.py;
     # the fused single-expression form re-hashes per window: O(n^2) md5)
     return (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, spread=False)
         .select("doc_id", winnow_encs(F.col("text")).alias("_encs"))
         .select("doc_id", winnow_from_encs(F.col("_encs")).alias("_sel"))
         .select(
@@ -2282,7 +2291,7 @@ def q_clone_type2_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     canon = make_type2_canon_udf()(F.col("text"))
     return (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, spread=False)
         .select("doc_id", F.sha2(canon, 256).alias("canon_sha"))
         .withColumn(
             "group_size",
@@ -2383,7 +2392,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf aggregation just shuffled on (no extra exchange)."""
     from pyspark.sql import Window
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=False)
     terms = docs.select("doc_id", F.explode(_tokens()).alias("term"))
     tfc = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfc = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
@@ -2777,7 +2786,7 @@ def q_dir_merkle(spark: SparkSession, sf_dir: str) -> DataFrame:
     pathological million-file directory rolls up hierarchically
     (path-component levels), each level the same bounded groupBy.
     """
-    files = _docs(spark, sf_dir).select(
+    files = _docs(spark, sf_dir, spread=False).select(
         "source",
         (F.col("doc_id") % DIR_FANOUT).alias("dirname"),
         "doc_id",
@@ -2980,7 +2989,7 @@ def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same two-level shape as repetition_stats; map-side combine keeps
     shuffle rows ~= distinct (doc, word), never corpus tokens.
     """
-    words = _docs(spark, sf_dir).select("doc_id", F.explode(_tokens()).alias("w"))
+    words = _docs(spark, sf_dir, spread=False).select("doc_id", F.explode(_tokens()).alias("w"))
     wc = words.groupBy("doc_id", "w").count()
     return (
         wc.groupBy("doc_id")
@@ -3118,7 +3127,7 @@ def q_doc_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "int"
     )
     return (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, spread=False)
         .select(bucket.alias("len_bucket"), "n_chars")
         .groupBy("len_bucket")
         .agg(
@@ -3181,7 +3190,7 @@ def q_dup_substrings(
     policy as similarity.brute_force_pairs.
     """
     L = DUP_SUBSTR_L
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     total = d.agg(F.sum("n_chars")).collect()[0][0] or 0  # bounded artifact
     if total > max_bytes:
         raise ValueError(
@@ -4420,7 +4429,7 @@ def q_clone_type1_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, spread=False)
         .select("doc_id", F.sha2(F.encode(canon, "UTF-8"), 256).alias("canon_sha"))
         .withColumn(
             "group_size",

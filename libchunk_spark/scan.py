@@ -18,6 +18,15 @@ from pyspark.sql import DataFrame, SparkSession
 # matches the session default spark.sql.files.maxPartitionBytes=128m
 MAX_PARTITION_BYTES = 128 * 1024 * 1024
 
+# Floor: don't spread a scan whose resulting partitions would be under
+# 32 KiB — at that size the exchange + task-scheduling overhead (a few
+# hundred ms on local mode) exceeds the single-threaded compute on the
+# whole input, and the count-visible cost of trivial consumers doubles
+# for nothing. Both bounds derive from input size and core count; the
+# spread engages exactly in the window where one row group is too big
+# for one core but too small to split.
+MIN_SPREAD_PARTITION_BYTES = 32 * 1024
+
 
 def _input_bytes(path: str) -> int | None:
     try:
@@ -45,6 +54,11 @@ def read_parallel(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     size = _input_bytes(path)
     par = spark.sparkContext.defaultParallelism
-    if size is not None and size < par * MAX_PARTITION_BYTES:
-        return df.repartition(2 * par)
+    n = 2 * par
+    if (
+        size is not None
+        and size < par * MAX_PARTITION_BYTES
+        and size >= n * MIN_SPREAD_PARTITION_BYTES
+    ):
+        return df.repartition(n)
     return df
