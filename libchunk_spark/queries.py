@@ -2612,11 +2612,24 @@ def q_lsh_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ground truth itself.
     """
     # each side feeds the tp join AND its own count — without a
-    # checkpoint the whole ngram / banding pipeline runs twice per side
-    truth = (
-        q_ngram_jaccard_pairs(spark, sf_dir).select("a", "b").localCheckpoint()
-    )
-    cand = q_lsh_band_pairs(spark, sf_dir).select("a", "b").localCheckpoint()
+    # checkpoint the whole ngram / banding pipeline runs twice per side.
+    # The two materializations are independent, so they run as concurrent
+    # driver-thread jobs (guide §2.6): the cheaper banding side back-fills
+    # executors the exact side's stage tails leave idle.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        f_truth = ex.submit(
+            lambda: q_ngram_jaccard_pairs(spark, sf_dir)
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        f_cand = ex.submit(
+            lambda: q_lsh_band_pairs(spark, sf_dir)
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        truth, cand = f_truth.result(), f_cand.result()
     tp = truth.join(cand, ["a", "b"]).agg(F.count("*").alias("tp"))
     nt = truth.agg(F.count("*").alias("n_truth"))
     nc = cand.agg(F.count("*").alias("n_cand"))
@@ -3821,15 +3834,20 @@ def q_passage_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     p = q_passage_windows(spark, sf_dir).select("doc_id", "passage_sha")
     # each snapshot feeds three set operations (anti x2 / semi); without a
-    # checkpoint the passage-extraction pipeline re-runs per consumer
-    old = (
-        p.where(F.col("doc_id") % 10 != 0)
-        .select("passage_sha").distinct().localCheckpoint()
-    )
-    new = (
-        p.where(F.col("doc_id") % 10 != 1)
-        .select("passage_sha").distinct().localCheckpoint()
-    )
+    # checkpoint the passage-extraction pipeline re-runs per consumer.
+    # The two snapshot materializations are independent -> concurrent
+    # driver-thread jobs (guide §2.6).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _snap(excl: int):
+        return (
+            p.where(F.col("doc_id") % 10 != excl)
+            .select("passage_sha").distinct().localCheckpoint()
+        )
+
+    with ThreadPoolExecutor(2) as ex:
+        f_old, f_new = ex.submit(_snap, 0), ex.submit(_snap, 1)
+        old, new = f_old.result(), f_new.result()
     added = new.join(old, "passage_sha", "left_anti").agg(
         F.count("*").alias("n_shas")
     ).select(F.lit("added").alias("change"), "n_shas")
