@@ -194,6 +194,10 @@ def icws_samples(
     k = int(num_samples)
     if th.size == 0:
         return np.full(k, -1, dtype=np.int64)
+    if not (weights > 0).all():  # ADVICE r7: ln(w) of a non-positive
+        raise ValueError(  # weight silently yields -inf/NaN argmins
+            "icws_samples requires strictly positive weights"
+        )
     th = th.astype(np.uint64)
     ks = _mix64(
         np.arange(k, dtype=np.uint64)

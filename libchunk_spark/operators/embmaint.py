@@ -109,6 +109,10 @@ def fold_new_shas_into_index(
     from libchunk_spark.operators.ann_index import build_ivfpq_index
     from libchunk_spark.streaming.aggmaint import _committed
 
+    # ADVICE r7: an all-dedupe first batch writes zero rows, no build
+    # runs, and the ledger os.replace below would raise FileNotFoundError
+    # on a never-created directory — wedging every rerun on that batch.
+    os.makedirs(index_path, exist_ok=True)
     ledger_path = os.path.join(index_path, "folded_batches.json")
     done: set[int] = set()
     if os.path.exists(ledger_path):

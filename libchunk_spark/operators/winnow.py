@@ -15,7 +15,8 @@ Algorithm per document:
   1. hash every char k-gram (40-bit: first 10 hex chars of md5 — the same
      portable construction as the repo's 60-bit gram hash, shortened so the
      (hash, position) pair packs into one 64-bit integer);
-  2. encode enc = hash * 2^20 + (2^20 - 1 - pos mod 2^20), so the natural
+  2. encode enc = hash * 2^P + (2^P - 1 - pos mod 2^P), P per hasher
+     (POS_BITS_BY_HASHER: md5 20, xxhash64 23), so the natural
      integer order on enc is (hash asc, position desc): the minimum of a
      window is the minimal hash with the RIGHTMOST position on ties —
      robust winnowing's tie-break — computed by a plain array_min;
@@ -73,14 +74,17 @@ def _h40(col: Column, hasher: str = "md5") -> Column:
         return F.conv(F.substring(F.md5(col), 1, 10), 16, 10).cast("long")
     if hasher == "xxhash64":
         # shiftrightunsigned keeps the result in [0, 2^40): non-negative,
-        # so enc = h40*2^20 + pos packs into 60 bits of a signed long.
+        # so enc = h40*2^23 + pos packs into 63 bits of a signed long
+        # (POS_BITS_BY_HASHER["xxhash64"] = 23).
         return F.shiftrightunsigned(F.xxhash64(col), 24)
     raise ValueError(f"unknown winnow hasher: {hasher!r}")
 
 
 def winnow_encs(text: Column, k: int = WINNOW_K, hasher: str = "md5") -> Column:
     """array<long> of position-packed k-gram hash encodings
-    enc = h40*2^20 + (2^20-1 - pos%2^20) — the expensive (md5-per-gram)
+    enc = h40*2^P + (2^P-1 - pos%2^P) with P = POS_BITS_BY_HASHER[hasher]
+    (20 for the md5/oracle packing, 23 for the production xxhash64 path)
+    — the expensive (hash-per-gram)
     half of selection. MATERIALIZE this as its own column (alias it in a
     select) before windowing: Catalyst performs no common-subexpression
     elimination inside higher-order-function lambdas, so a single fused
@@ -102,7 +106,8 @@ def winnow_from_encs(encs: Column, w: int = WINNOW_W) -> Column:
     encs column: per window-end j, array_min of the w-slice — O(n*w)
     array reads, zero hashing. Documents with fewer than w k-grams select
     the global minimum (one whole-doc window) — mirrored in the SQL
-    oracle via i >= least(w, m). Fingerprint hash = enc >> 20 (use
+    oracle via i >= least(w, m). Fingerprint hash = enc >>
+    POS_BITS_BY_HASHER[hasher] (use
     F.shiftright, never float division: doubles lose integer precision
     above 2^53)."""
     if isinstance(encs, str):
@@ -139,7 +144,8 @@ def winnow_fingerprints(
 ) -> DataFrame:
     """(id, fp) rows: distinct selected fingerprint HASHES per document.
 
-    Positions are dropped after selection (>> 20), matching the paper's
+    Positions are dropped after selection (>> POS_BITS_BY_HASHER[hasher]),
+    matching the paper's
     fingerprint-set formulation used for all-pairs matching. Two-step
     projection: the md5 encoding array is aliased to a real column so the
     window pass reads it instead of re-deriving it (the multiply-
