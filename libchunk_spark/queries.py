@@ -1040,6 +1040,37 @@ WHERE rank <= {TOPK_K}
 TOPK_IVF_RECALL_FLOOR = 0.9
 
 
+def _topk_recall_contract(spark, sf_dir, approx_fn) -> DataFrame:
+    """(n_exact, recall_ok) scaffolding shared by the IVF/PQ/IVFADC
+    contracts: materialize the exact ranking and the approximate (q, cand)
+    set as CONCURRENT driver-thread jobs (guide §2.6 — they are
+    independent until the recall semi-join, and each feeds two consumers),
+    then join."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        f_exact = ex.submit(
+            lambda: q_topk_similar(spark, sf_dir)
+            .select("q", "cand")
+            .localCheckpoint()
+        )
+        f_approx = ex.submit(lambda: approx_fn().localCheckpoint())
+        exact, approx = f_exact.result(), f_approx.result()
+    hits = exact.join(approx, ["q", "cand"], "left_semi").agg(
+        F.count("*").alias("n_hit")
+    )
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(hits)
+        .select(
+            "n_exact",
+            (
+                F.col("n_hit") >= TOPK_IVF_RECALL_FLOOR * F.col("n_exact")
+            ).alias("recall_ok"),
+        )
+    )
+
+
 def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed top-k retrieval, value-checked against the exact ranking.
 
@@ -1056,26 +1087,12 @@ def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured recall 1.000 at sf0.01 / 0.958 at sf0.1 — comfortable margin
     # over the 0.9 floor (index_probe=2 soft assignment does the heavy
     # lifting; see topk_ivf docstring)
-    ivf = topk_ivf(
-        emb, queries, k=TOPK_K, n_cells=8, nprobe=5
-    ).select("q", "cand")
-    # exact ranking feeds the semi-join AND the n_exact count — without
-    # a checkpoint the full |queries| x n matmul + ranking window runs 2x
-    exact = (
-        q_topk_similar(spark, sf_dir).select("q", "cand").localCheckpoint()
-    )
-    hits = exact.join(ivf, ["q", "cand"], "left_semi").agg(
-        F.count("*").alias("n_hit")
-    )
-    return (
-        exact.agg(F.count("*").alias("n_exact"))
-        .crossJoin(hits)
-        .select(
-            "n_exact",
-            (
-                F.col("n_hit") >= TOPK_IVF_RECALL_FLOOR * F.col("n_exact")
-            ).alias("recall_ok"),
-        )
+    return _topk_recall_contract(
+        spark,
+        sf_dir,
+        lambda: topk_ivf(emb, queries, k=TOPK_K, n_cells=8, nprobe=5).select(
+            "q", "cand"
+        ),
     )
 
 
@@ -1110,26 +1127,12 @@ def q_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") % 50 == 0)
-    pq = pq_topk(
-        emb, queries, k=TOPK_K, m=16, n_codes=64, shortlist=64
-    ).select("q", "cand")
-    # exact ranking feeds the semi-join AND the n_exact count — without
-    # a checkpoint the full |queries| x n matmul + ranking window runs 2x
-    exact = (
-        q_topk_similar(spark, sf_dir).select("q", "cand").localCheckpoint()
-    )
-    hits = exact.join(pq, ["q", "cand"], "left_semi").agg(
-        F.count("*").alias("n_hit")
-    )
-    return (
-        exact.agg(F.count("*").alias("n_exact"))
-        .crossJoin(hits)
-        .select(
-            "n_exact",
-            (
-                F.col("n_hit") >= TOPK_IVF_RECALL_FLOOR * F.col("n_exact")
-            ).alias("recall_ok"),
-        )
+    return _topk_recall_contract(
+        spark,
+        sf_dir,
+        lambda: pq_topk(
+            emb, queries, k=TOPK_K, m=16, n_codes=64, shortlist=64
+        ).select("q", "cand"),
     )
 
 
@@ -1146,27 +1149,13 @@ def q_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") % 50 == 0)
-    ivfpq = pq_topk_ivf(
-        emb, queries, k=TOPK_K, m=16, n_codes=64, shortlist=64,
-        n_cells=8, nprobe=5,
-    ).select("q", "cand")
-    # exact ranking feeds the semi-join AND the n_exact count — without
-    # a checkpoint the full |queries| x n matmul + ranking window runs 2x
-    exact = (
-        q_topk_similar(spark, sf_dir).select("q", "cand").localCheckpoint()
-    )
-    hits = exact.join(ivfpq, ["q", "cand"], "left_semi").agg(
-        F.count("*").alias("n_hit")
-    )
-    return (
-        exact.agg(F.count("*").alias("n_exact"))
-        .crossJoin(hits)
-        .select(
-            "n_exact",
-            (
-                F.col("n_hit") >= TOPK_IVF_RECALL_FLOOR * F.col("n_exact")
-            ).alias("recall_ok"),
-        )
+    return _topk_recall_contract(
+        spark,
+        sf_dir,
+        lambda: pq_topk_ivf(
+            emb, queries, k=TOPK_K, m=16, n_codes=64, shortlist=64,
+            n_cells=8, nprobe=5,
+        ).select("q", "cand"),
     )
 
 
